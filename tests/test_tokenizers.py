@@ -1,0 +1,119 @@
+"""Tokenizer tests: vocab parity, regex splitting, joint offsets, wordpiece."""
+
+import os
+import tempfile
+
+import pytest
+
+from textreact_tpu.tokenizers import (ConditionTokenizer, JointSmilesTextTokenizer,
+                                      SmilesTokenizer, WordPieceTokenizer,
+                                      atom_token_positions, tokenize_smiles)
+
+
+def test_condition_vocab_specials():
+    tok = ConditionTokenizer()
+    # 315 tokens: 6 specials + '' (empty slot, id 6) + 308 molecule strings
+    assert len(tok) == 315
+    assert tok.vocab.get("") == 6
+    assert tok.pad_token_id == 0
+    assert tok.bos_token_id == 1
+    assert tok.eos_token_id == 2
+    assert tok.mask_token_id == 3
+    assert tok.unk_token_id == 4
+
+
+def test_condition_encode_decode():
+    tok = ConditionTokenizer()
+    conditions = ["", "C1CCCCC1", "", "BrBr", ""]
+    enc = tok(conditions)
+    assert enc["input_ids"][0] == tok.bos_token_id
+    assert enc["input_ids"][-1] == tok.eos_token_id
+    assert len(enc["input_ids"]) == 7
+    assert enc["attention_mask"] == [1] * 7
+    assert tok.decode(enc["input_ids"][1:-1]) == conditions
+    # OOV molecule -> [UNK]
+    enc2 = tok(["definitely_not_in_vocab"])
+    assert enc2["input_ids"][1] == tok.unk_token_id
+
+
+def test_smiles_regex_tokenize():
+    assert tokenize_smiles("CC(=O)Oc1ccccc1") == [
+        "C", "C", "(", "=", "O", ")", "O", "c", "1", "c", "c", "c", "c", "c", "1"]
+    assert tokenize_smiles("Clc1ccccc1Br")[0] == "Cl"
+    assert tokenize_smiles("[CH3:1]>>[CH4]") == ["[CH3:1]", ">>", "[CH4]"]
+    assert tokenize_smiles("C%12CC%12") == ["C", "%12", "C", "C", "%12"]
+
+
+def test_atom_token_positions():
+    # parity with reference dataset.py:237-240 (atom tokens only)
+    assert atom_token_positions("CC(=O)O") == [0, 1, 4, 6]
+    assert atom_token_positions("c1ccccc1") == [0, 2, 3, 4, 5, 6]
+
+
+def test_smiles_tokenizer_vocab():
+    tok = SmilesTokenizer()
+    assert len(tok) == 591  # file has no trailing newline: 591 tokens
+    assert tok.pad_token_id == 0
+    assert tok.unk_token_id == 11
+    assert tok.cls_token_id == 12
+    assert tok.sep_token_id == 13
+    assert tok.mask_token_id == 14
+    enc = tok("CCO")
+    assert enc["input_ids"][0] == tok.cls_token_id
+    assert enc["input_ids"][-1] == tok.sep_token_id
+    assert tok.decode(enc["input_ids"]) == "CCO"
+
+
+def _tiny_text_vocab(tmpdir):
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "the", "reaction", "was", "stir", "##red", "at", "room",
+             "temperature", ",", ".", "with", "acid"]
+    path = os.path.join(tmpdir, "vocab.txt")
+    with open(path, "w") as f:
+        f.write("\n".join(vocab) + "\n")
+    return path
+
+
+def test_wordpiece_tokenizer():
+    with tempfile.TemporaryDirectory() as d:
+        tok = WordPieceTokenizer(_tiny_text_vocab(d))
+        assert tok.tokenize("The reaction was STIRRED at room temperature.") == [
+            "the", "reaction", "was", "stir", "##red", "at", "room",
+            "temperature", "."]
+        assert tok.tokenize("xyzzy") == ["[UNK]"]
+        enc = tok("stirred, with acid")
+        assert enc["input_ids"][0] == tok.cls_token_id
+        assert enc["input_ids"][-1] == tok.sep_token_id
+        assert tok.decode(enc["input_ids"]) == "stirred , with acid"
+
+
+def test_joint_tokenizer_offsets():
+    with tempfile.TemporaryDirectory() as d:
+        text_tok = WordPieceTokenizer(_tiny_text_vocab(d))
+        smi_tok = SmilesTokenizer()
+        joint = JointSmilesTextTokenizer(text_tok, smi_tok)
+        assert len(joint) == len(text_tok) + len(smi_tok)
+        assert joint.smiles_offset == len(text_tok)
+        enc = joint("CCO", text_pair="the reaction")
+        # smiles segment ids are offset into the joint vocab
+        n_smi = len(smi_tok("CCO")["input_ids"])
+        assert all(i >= len(text_tok) for i in enc["input_ids"][:n_smi])
+        # text segment drops its [CLS]
+        text_ids = text_tok("the reaction")["input_ids"]
+        assert enc["input_ids"][n_smi:] == text_ids[1:]
+        assert len(enc["attention_mask"]) == len(enc["input_ids"])
+        # list text_pair concatenates all segments
+        enc2 = joint("CCO", text_pair=["the reaction", "was stirred"])
+        assert len(enc2["input_ids"]) > len(enc["input_ids"])
+        # pad id comes from the text vocab
+        assert joint.pad_token_id == text_tok.pad_token_id
+
+
+def test_joint_tokenizer_text_only_mode():
+    with tempfile.TemporaryDirectory() as d:
+        text_tok = WordPieceTokenizer(_tiny_text_vocab(d))
+        joint = JointSmilesTextTokenizer(text_tok)
+        assert joint.smiles_offset == 0
+        assert len(joint) == len(text_tok)
+        enc = joint("CCO", text_pair="the reaction")
+        assert max(enc["input_ids"]) < len(text_tok)
