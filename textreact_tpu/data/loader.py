@@ -1,0 +1,99 @@
+"""Host data loader: deterministic shuffling + background batch assembly.
+
+Replaces the reference's torch DataLoader with 8 worker processes
+(reference main.py:325-328). Examples are assembled on the host and
+prefetched on a background thread so batch construction overlaps device
+steps; per-example RNG is keyed by (seed, epoch, index) so any example is
+reproducible in isolation (the role of Lightning's seed_everything(workers=
+True), reference main.py:351).
+"""
+
+from __future__ import annotations
+
+import queue
+import random as _random
+import threading
+from typing import Iterator, List, Optional
+
+from .collate import Batch, Collator
+
+
+def example_rng(seed: int, epoch: int, index: int) -> _random.Random:
+    # deterministic integer mixing (no salted string hashing)
+    key = (seed * 1_000_003 + epoch) * 2_654_435_761 + index
+    return _random.Random(key & 0xFFFFFFFFFFFF)
+
+
+class DataLoader:
+    def __init__(self, dataset, collator: Collator, batch_size: int,
+                 shuffle: bool = False, seed: int = 0, drop_last: bool = False,
+                 fixed_shapes: bool = True, prefetch: int = 4,
+                 augment: Optional[bool] = None):
+        self.dataset = dataset
+        self.collator = collator
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.fixed_shapes = fixed_shapes
+        self.prefetch = prefetch
+        self.augment = augment
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self) -> List[int]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            _random.Random(self.seed * 7_368_787 + self.epoch).shuffle(order)
+        return order
+
+    def _build(self, batch_indices: List[int]) -> Batch:
+        examples = [
+            self.dataset.example(i, rng=example_rng(self.seed, self.epoch, i),
+                                 augment=self.augment)
+            for i in batch_indices
+        ]
+        fixed_batch = self.batch_size if self.fixed_shapes else None
+        return self.collator(examples, fixed_batch=fixed_batch)
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = self._order()
+        chunks = [order[i:i + self.batch_size]
+                  for i in range(0, len(order), self.batch_size)]
+        if self.drop_last:
+            chunks = [c for c in chunks if len(c) == self.batch_size]
+        if self.prefetch <= 0:
+            for c in chunks:
+                yield self._build(c)
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+        err: List[BaseException] = []
+
+        def worker():
+            try:
+                for c in chunks:
+                    q.put(self._build(c))
+            except BaseException as e:  # surfaced in the consumer
+                err.append(e)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
