@@ -122,9 +122,26 @@ class Collator:
             arrays["atom_mask"] = _pad_1d(
                 [[1] * n for n in num_atoms], A, 0, B)
             host["bonds"] = [ex.get("bonds", []) for ex in examples]
+            # Bond positions as an explicit pair list instead of a dense
+            # (A, A) grid: the reference's loss ignores non-bond entries via
+            # -100 labels (dataset.py:370-373) and its eval ranks only real
+            # bonds (utils.py:87), so logits are only ever needed at bond
+            # pairs. This turns O(A^2 * n_templates) logits into
+            # O(num_bonds * n_templates).
+            max_bonds = max((len(b) for b in host["bonds"]), default=0)
+            MB = max(8, -(-max(max_bonds, 1) // 8) * 8)
+            bond_pairs = np.zeros((B, MB, 2), dtype=np.int32)
+            bond_mask = np.zeros((B, MB), dtype=np.int32)
+            for i, bonds in enumerate(host["bonds"]):
+                for j, pair in enumerate(bonds[:MB]):
+                    bond_pairs[i, j] = pair
+                    bond_mask[i, j] = 1
+            arrays["bond_pairs"] = bond_pairs
+            arrays["bond_mask"] = bond_mask
             if "decoder_atom_template_ids" in examples[0]:
                 arrays["atom_template_labels"] = self._atom_labels(examples, num_atoms, A, B)
-                arrays["bond_template_labels"] = self._bond_labels(examples, host["bonds"], A, B)
+                arrays["bond_template_labels"] = self._bond_labels(
+                    examples, host["bonds"], bond_pairs, bond_mask, B, MB)
                 host["raw_template_labels"] = [ex["decoder_raw_template_labels"]
                                                for ex in examples]
 
@@ -144,12 +161,17 @@ class Collator:
                 labels[i, loc] = tid
         return labels
 
-    def _bond_labels(self, examples, bonds_list, A: int, B: int) -> np.ndarray:
-        labels = np.full((B, A, A), IGNORE_INDEX, dtype=np.int32)
+    def _bond_labels(self, examples, bonds_list, bond_pairs: np.ndarray,
+                     bond_mask: np.ndarray, B: int, MB: int) -> np.ndarray:
+        """(B, MB) labels aligned with bond_pairs: 0 background, template id
+        at labeled bond edits, IGNORE_INDEX on padded slots."""
+        labels = np.full((B, MB), IGNORE_INDEX, dtype=np.int32)
         for i, (ex, bonds) in enumerate(zip(examples, bonds_list)):
-            for b in bonds:
-                labels[(i, *b)] = 0
+            pair_slot = {tuple(p): j for j, p in enumerate(bonds[:MB])}
+            labels[i, :len(bonds[:MB])] = 0
             for loc, tid in zip(ex["decoder_bond_template_locs"],
                                 ex["decoder_bond_template_ids"]):
-                labels[(i, *loc)] = tid
+                slot = pair_slot.get(tuple(loc))
+                if slot is not None:
+                    labels[i, slot] = tid
         return labels

@@ -1,0 +1,233 @@
+"""Transformer building blocks (flax.linen), BERT-compatible geometry.
+
+Replaces the HF torch stack the reference builds on (reference model.py:10-37
+via transformers EncoderDecoderModel). Design notes for TPU:
+
+- params live in float32; matmuls run in `dtype` (bfloat16 by default) on the
+  MXU; attention logits/softmax and layer norms accumulate in float32;
+- attention masks are additive float biases, supporting both the standard
+  (B, L) padding mask and the 2-D (B, L, L) bond-graph mask
+  (`unattend_nonbonds`, reference dataset.py:247-254) without separate code
+  paths;
+- MLM's masked-first reordering arrives as explicit position_ids
+  (reference dataset.py:100-105), so position embeddings are always a gather;
+- autoregressive decoding uses a fixed-size linen 'cache' collection so the
+  whole beam-search loop stays inside one jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .config import TransformerConfig
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def dense_init(config: TransformerConfig) -> Callable:
+    return nn.initializers.normal(stddev=config.initializer_range)
+
+
+def mask_to_bias(mask: Array, dtype=jnp.float32) -> Array:
+    """(B, L) or (B, Lq, Lk) {0,1} mask -> (B, 1, Lq|1, Lk) additive bias."""
+    if mask.ndim == 2:
+        bias = mask[:, None, None, :]
+    elif mask.ndim == 3:
+        bias = mask[:, None, :, :]
+    else:
+        raise ValueError(f"mask ndim {mask.ndim}")
+    return ((1.0 - bias.astype(dtype)) * NEG_INF).astype(dtype)
+
+
+def causal_bias(q_len: int, k_len: int, offset: int = 0, dtype=jnp.float32) -> Array:
+    """(1, 1, q_len, k_len) causal additive bias; offset shifts the query
+    positions (for incremental decoding)."""
+    q_pos = jnp.arange(q_len)[:, None] + offset
+    k_pos = jnp.arange(k_len)[None, :]
+    allowed = k_pos <= q_pos
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+class Embeddings(nn.Module):
+    """word + position + token-type embeddings with post-sum LayerNorm."""
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, input_ids: Array, position_ids: Optional[Array] = None,
+                 token_type_ids: Optional[Array] = None,
+                 word_embedding: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        cfg = self.config
+        if position_ids is None:
+            position_ids = jnp.arange(input_ids.shape[-1])[None, :]
+        if word_embedding is not None:
+            # externally-owned table (tied with the LM head)
+            word = jnp.take(word_embedding.astype(self.dtype), input_ids, axis=0)
+        else:
+            word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                            embedding_init=dense_init(cfg), name="word_embeddings",
+                            dtype=self.dtype)(input_ids)
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       embedding_init=dense_init(cfg), name="position_embeddings",
+                       dtype=self.dtype)(position_ids)
+        x = word + pos
+        if cfg.type_vocab_size > 0:
+            if token_type_ids is None:
+                token_type_ids = jnp.zeros_like(input_ids)
+            x = x + nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                             embedding_init=dense_init(cfg),
+                             name="token_type_embeddings",
+                             dtype=self.dtype)(token_type_ids)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="layer_norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
+        return x.astype(self.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self- or cross-attention; float32 logits/softmax; optional decode cache."""
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+    decode: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, kv: Optional[Array] = None,
+                 bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        cfg = self.config
+        H, D = cfg.num_attention_heads, cfg.head_dim
+        kv_in = x if kv is None else kv
+        init = dense_init(cfg)
+
+        def proj(name, src):
+            y = nn.Dense(H * D, kernel_init=init, dtype=self.dtype, name=name)(src)
+            return y.reshape(src.shape[0], src.shape[1], H, D)
+
+        q = proj("query", x)
+        k = proj("key", kv_in)
+        v = proj("value", kv_in)
+
+        if self.decode and kv is None:
+            # fixed-size KV cache for incremental decoding
+            is_initialized = self.has_variable("cache", "cached_key")
+            cached_k = self.variable("cache", "cached_key", jnp.zeros,
+                                     (x.shape[0], cfg.max_position_embeddings, H, D),
+                                     self.dtype)
+            cached_v = self.variable("cache", "cached_value", jnp.zeros,
+                                     (x.shape[0], cfg.max_position_embeddings, H, D),
+                                     self.dtype)
+            cache_index = self.variable("cache", "cache_index",
+                                        lambda: jnp.array(0, dtype=jnp.int32))
+            if is_initialized:
+                idx = cache_index.value
+                zero = jnp.zeros((), dtype=idx.dtype)
+                k_all = jax.lax.dynamic_update_slice(cached_k.value, k, (zero, idx, zero, zero))
+                v_all = jax.lax.dynamic_update_slice(cached_v.value, v, (zero, idx, zero, zero))
+                cached_k.value = k_all
+                cached_v.value = v_all
+                cache_index.value = idx + x.shape[1]
+                k, v = k_all, v_all
+                # mask out cache slots beyond the current position
+                k_len = k.shape[1]
+                pos = jnp.arange(k_len)[None, None, None, :]
+                valid = pos < (idx + x.shape[1])
+                cache_bias = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
+                bias = cache_bias if bias is None else bias + cache_bias
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        scores = scores / jnp.sqrt(D).astype(jnp.float32)
+        if bias is not None:
+            scores = scores + bias.astype(jnp.float32)
+        probs = jax.nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            probs, deterministic=deterministic)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(self.dtype), v,
+                         preferred_element_type=jnp.float32).astype(self.dtype)
+        ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], H * D)
+        return nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
+                        name="output")(ctx)
+
+
+class FeedForward(nn.Module):
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.config
+        act = nn.gelu if cfg.hidden_act == "gelu" else getattr(nn, cfg.hidden_act)
+        h = nn.Dense(cfg.intermediate_size, kernel_init=dense_init(cfg),
+                     dtype=self.dtype, name="intermediate")(x)
+        h = act(h)
+        return nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                        dtype=self.dtype, name="output")(h)
+
+
+class TransformerBlock(nn.Module):
+    """Post-LN block: [self-attn] [cross-attn]? [ffn], each with residual+LN."""
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+    decode: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, self_bias: Optional[Array] = None,
+                 encoder_states: Optional[Array] = None,
+                 cross_bias: Optional[Array] = None,
+                 deterministic: bool = True) -> Array:
+        cfg = self.config
+
+        def dropout(y):
+            return nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+
+        attn = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
+                                  name="attention")(
+            x, bias=self_bias, deterministic=deterministic)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="attention_norm")(x + dropout(attn)).astype(self.dtype)
+        if cfg.add_cross_attention and encoder_states is not None:
+            cross = MultiHeadAttention(cfg, dtype=self.dtype, name="crossattention")(
+                x, kv=encoder_states, bias=cross_bias, deterministic=deterministic)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="crossattention_norm")(x + dropout(cross)).astype(self.dtype)
+        ffn = FeedForward(cfg, dtype=self.dtype, name="ffn")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         name="ffn_norm")(x + dropout(ffn)).astype(self.dtype)
+        return x
+
+
+class MLMHead(nn.Module):
+    """BERT prediction head: dense+gelu+LN then vocab projection.
+
+    Role of reference model.py:40-47 (get_mlm_head, 'mlp' variant) and the
+    decoder LM logits. With `embedding` given, the vocab projection is tied
+    to the word-embedding matrix.
+    """
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+    mlp: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, embedding: Optional[Array] = None) -> Array:
+        cfg = self.config
+        if self.mlp:
+            x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
+                         dtype=self.dtype, name="transform")(x)
+            x = nn.gelu(x)
+            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                             name="transform_norm")(x).astype(self.dtype)
+        if embedding is not None:
+            logits = jnp.einsum("bld,vd->blv", x, embedding.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,),
+                              jnp.float32)
+            return logits + bias
+        return nn.Dense(cfg.vocab_size, kernel_init=dense_init(cfg),
+                        dtype=jnp.float32, name="decoder")(x)

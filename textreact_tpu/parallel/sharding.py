@@ -1,0 +1,51 @@
+"""Parameter partitioning rules (Megatron-style tensor parallelism).
+
+Instead of NCCL modules, parallelism is expressed as PartitionSpecs on the
+param pytree; XLA SPMD inserts the all-reduces. Rules, keyed on param path:
+
+- attention query/key/value kernels:     (hidden, H*D)   -> P(None, 'tp')
+- attention output kernel:               (H*D, hidden)   -> P('tp', None)
+- FFN intermediate kernel:               (hidden, ffn)   -> P(None, 'tp')
+- FFN output kernel:                     (ffn, hidden)   -> P('tp', None)
+- matching bias vectors of column-split layers -> P('tp')
+- embeddings / norms / heads: replicated.
+
+With tp_size == 1 everything degenerates to replication (the reference's
+pure-DP regime).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .mesh import TP_AXIS
+
+COLUMN_SPLIT = ("query", "key", "value", "intermediate")   # shard out-features
+ROW_SPLIT_HINT = ("output",)                                # shard in-features
+
+
+def param_spec(path: Tuple[str, ...], value: Any) -> P:
+    names = [p.key if hasattr(p, "key") else str(p) for p in path]
+    leaf = names[-1]
+    parents = set(names[:-1])
+    if leaf == "kernel" and value.ndim == 2:
+        if parents & set(COLUMN_SPLIT):
+            return P(None, TP_AXIS)
+        if parents & set(ROW_SPLIT_HINT):
+            return P(TP_AXIS, None)
+    if leaf == "bias" and value.ndim == 1 and (parents & set(COLUMN_SPLIT)):
+        return P(TP_AXIS)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """PyTree of NamedShardings matching `params`."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, param_spec(path, v)), params)
+
+
+def shard_params(mesh: Mesh, params: Any) -> Any:
+    return jax.device_put(params, param_shardings(mesh, params))
