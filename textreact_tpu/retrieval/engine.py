@@ -1,0 +1,152 @@
+"""Sharded exact nearest-neighbor engine (the TPU FAISS-flat replacement).
+
+Role of reference retrieve/retrieve_faiss.py: build an exact L2 index over
+fingerprint vectors and query top-20 neighbors. TPU-native design
+(BASELINE.json north star):
+
+- the corpus matrix is SHARDED row-wise across the device mesh's HBM
+  ('corpus' axis); each device runs the fused Pallas matmul+top-k kernel
+  (ops/topk.py) over its shard;
+- per-shard top-k results are all-gathered over ICI and merged with a
+  two-key lexicographic sort (distance, then corpus index) that preserves
+  faiss tie order end-to-end;
+- masked retrieval (self/gold removal, reference dataset.py:74-76) is a
+  per-query banned-id list applied on-chip, not a host-side filter.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.topk import (BIG, corpus_norms_padded, exact_topk_l2,
+                        numpy_reference_topk, pad_matrix)
+
+CORPUS_AXIS = "corpus"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class FlatIndex:
+    """Exact (flat) L2 index over int8 fingerprint vectors."""
+
+    def __init__(self, corpus_fps: np.ndarray, mesh: Optional[Mesh] = None,
+                 tile_q: int = 128, tile_c: int = 1024,
+                 interpret: Optional[bool] = None):
+        assert corpus_fps.dtype == np.int8, corpus_fps.dtype
+        self.n_real = corpus_fps.shape[0]
+        self.tile_q = tile_q
+        self.mesh = mesh
+        self.n_shards = mesh.shape[CORPUS_AXIS] if mesh is not None else 1
+        if interpret is None:
+            interpret = jax.default_backend() == "cpu"
+        self.interpret = interpret
+
+        # pad rows so every shard is a whole number of corpus tiles
+        tile_c = min(tile_c, _cdiv(max(self.n_real, 1), self.n_shards))
+        tile_c = max(8, tile_c)
+        self.tile_c = tile_c
+        row_mult = tile_c * self.n_shards
+        padded = pad_matrix(corpus_fps, row_mult)
+        norms = corpus_norms_padded(padded, self.n_real)
+        self.n_padded = padded.shape[0]
+        self.dim = padded.shape[1]
+        self.shard_rows = self.n_padded // self.n_shards
+
+        if mesh is not None:
+            self.corpus = jax.device_put(
+                jnp.asarray(padded), NamedSharding(mesh, P(CORPUS_AXIS, None)))
+            self.norms = jax.device_put(
+                jnp.asarray(norms), NamedSharding(mesh, P(CORPUS_AXIS)))
+        else:
+            self.corpus = jnp.asarray(padded)
+            self.norms = jnp.asarray(norms)
+        self._search_fn = None
+
+    # ------------------------------------------------------------------
+    def _build_search(self, k: int, nb: int):
+        tile_q, tile_c, interpret = self.tile_q, self.tile_c, self.interpret
+        shard_rows = self.shard_rows
+
+        if self.mesh is None:
+            def search(queries, corpus, norms, banned):
+                return exact_topk_l2(queries, corpus, norms, banned, k=k,
+                                     tile_q=tile_q, tile_c=tile_c,
+                                     interpret=interpret)
+            return jax.jit(search)
+
+        mesh = self.mesh
+
+        def local_search(queries, corpus, norms, banned):
+            shard = jax.lax.axis_index(CORPUS_AXIS)
+            offset = shard * shard_rows
+            vals, idx = exact_topk_l2(
+                queries, corpus, norms, banned - offset, k=k,
+                tile_q=tile_q, tile_c=tile_c, interpret=interpret)
+            idx = jnp.where(idx >= BIG, idx, idx + offset)
+            return vals[None], idx[None]
+
+        sharded = shard_map(
+            local_search, mesh=mesh,
+            in_specs=(P(), P(CORPUS_AXIS, None), P(CORPUS_AXIS), P()),
+            out_specs=(P(CORPUS_AXIS), P(CORPUS_AXIS)),
+            check_vma=False,  # pallas_call outputs carry no vma metadata
+        )
+
+        @jax.jit
+        def search(queries, corpus, norms, banned):
+            vals_s, idx_s = sharded(queries, corpus, norms, banned)
+            # (S, M, k) -> (M, S*k); merge with (distance, index) lex order
+            M = vals_s.shape[1]
+            vals = jnp.moveaxis(vals_s, 0, 1).reshape(M, -1)
+            idx = jnp.moveaxis(idx_s, 0, 1).reshape(M, -1)
+            vals, idx = jax.lax.sort((vals, idx), dimension=1, num_keys=2)
+            return vals[:, :k], idx[:, :k]
+
+        return search
+
+    # ------------------------------------------------------------------
+    def search(self, queries: np.ndarray, k: int = 20,
+               banned: Optional[np.ndarray] = None
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Top-k (distances, indices), faiss-flat semantics. `banned` is
+        (M, NB) int32 global corpus ids to exclude per query (-1 = none)."""
+        assert queries.dtype == np.int8, queries.dtype
+        M = queries.shape[0]
+        q = pad_matrix(queries, self.tile_q, 128)
+        assert q.shape[1] == self.dim, (q.shape, self.dim)
+        if banned is None:
+            banned_arr = np.full((q.shape[0], 1), -1, dtype=np.int32)
+        else:
+            banned_arr = np.full((q.shape[0], banned.shape[1]), -1, dtype=np.int32)
+            banned_arr[:M] = banned
+        key = (k, banned_arr.shape[1])
+        if self._search_fn is None or self._search_key != key:
+            self._search_fn = self._build_search(k, banned_arr.shape[1])
+            self._search_key = key
+        vals, idx = self._search_fn(jnp.asarray(q), self.corpus, self.norms,
+                                    jnp.asarray(banned_arr))
+        return np.asarray(vals)[:M], np.asarray(idx)[:M]
+
+    def reference_search(self, queries: np.ndarray, k: int = 20,
+                         banned: Optional[np.ndarray] = None):
+        """Brute-force numpy oracle over the same (unpadded) data."""
+        corpus = np.asarray(jax.device_get(self.corpus))[: self.n_real]
+        return numpy_reference_topk(queries, corpus, k, banned)
+
+
+def build_neighbor_file(ids: Sequence[str], train_ids: Sequence[str],
+                        index: FlatIndex, query_fps: np.ndarray,
+                        k: int = 20) -> List[Dict]:
+    """{id, nn} records like retrieve_faiss.py:116-130 writes."""
+    _, idx = index.search(query_fps, k=k)
+    return [{"id": qid, "nn": [train_ids[j] for j in row if j < len(train_ids)]}
+            for qid, row in zip(ids, idx.tolist())]
