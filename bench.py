@@ -1,0 +1,75 @@
+"""Headline benchmark: TPU retrieval QPS vs CPU exact brute-force baseline.
+
+The BASELINE.json north-star metric is the retrieval engine: exact top-20
+L2 search over corpus fingerprints (the reference's faiss.IndexFlatL2 CPU
+path, retrieve_faiss.py:62-74) with >=10x QPS/chip target. FAISS is not in
+this image, so the baseline is an exact CPU brute-force scan over the SAME
+int8 vectors via BLAS (which is what IndexFlatL2 does internally: GEMM +
+selection). Parity is asserted before timing.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from textreact_tpu.retrieval import FlatIndex
+    from textreact_tpu.ops.topk import numpy_reference_topk
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    N, D, K = (200_000, 1024, 20) if on_tpu else (20_000, 256, 20)
+    M = 2048 if on_tpu else 128
+
+    rng = np.random.default_rng(0)
+    corpus = (rng.random((N, D)) < 0.08).astype(np.int8)
+    queries = (rng.random((M, D)) < 0.08).astype(np.int8)
+
+    # --- TPU engine ---
+    index = FlatIndex(corpus, mesh=None, tile_q=128, tile_c=2048,
+                      interpret=not on_tpu)
+    vals, idx = index.search(queries, k=K)          # compile + warm
+    t0 = time.perf_counter()
+    reps = 5 if on_tpu else 1
+    for _ in range(reps):
+        vals, idx = index.search(queries, k=K)
+    dt = (time.perf_counter() - t0) / reps
+    qps = M / dt
+
+    # --- correctness: exact parity with float64 brute force on a sample ---
+    sample = queries[:64]
+    ref_vals, ref_idx = numpy_reference_topk(sample, corpus, K)
+    got_vals, got_idx = index.search(sample, k=K)
+    assert np.array_equal(got_idx, ref_idx), "retrieval parity FAILED"
+    assert np.array_equal(got_vals, ref_vals), "distance parity FAILED"
+
+    # --- CPU exact baseline (faiss-flat equivalent: GEMM + top-k) ---
+    mb = 64
+    qf = queries[:mb].astype(np.float32)
+    cf = corpus.astype(np.float32)
+    cn = (cf * cf).sum(1)
+    t0 = time.perf_counter()
+    d2 = (qf * qf).sum(1)[:, None] - 2.0 * (qf @ cf.T) + cn[None, :]
+    part = np.argpartition(d2, K, axis=1)[:, :K]
+    pv = np.take_along_axis(d2, part, axis=1)
+    order = np.argsort(pv, axis=1, kind="stable")
+    _ = np.take_along_axis(part, order, axis=1)
+    cpu_dt = time.perf_counter() - t0
+    cpu_qps = mb / cpu_dt
+
+    out = {
+        "metric": "retrieval_qps_exact_top20",
+        "value": round(qps, 1),
+        "unit": f"queries/s (N={N}, d={D}, k={K}, {'tpu' if on_tpu else 'cpu-interpret'})",
+        "vs_baseline": round(qps / cpu_qps, 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

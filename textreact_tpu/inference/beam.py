@@ -1,0 +1,126 @@
+"""jit-compiled beam search with KV cache.
+
+Replaces HF `model.generate(num_beams, length_penalty=0, ...)` (reference
+main.py:218-223). Semantics matched to HF beam search with length_penalty=0
+and early_stopping=False:
+
+- scores are raw log-prob sums (no length normalization);
+- a beam ending in EOS moves to the finished pool; search stops when the
+  worst finished score cannot be beaten by any live beam (log-probs are
+  <= 0, so a live beam's score only decreases) or at max_length;
+- unfinished slots at termination are filled from live beams, best first.
+
+The whole loop is a lax.while_loop over a static max_length with a fixed
+beam count, so one compilation serves every batch (static shapes; XLA
+compiles the step once).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1.0e7
+
+
+def _gather_beams(tree: Any, beam_indices: Array, B: int, K: int) -> Any:
+    """Select beams: leaves have leading dim B*K; beam_indices (B, K)."""
+    flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
+
+    def gather(x):
+        return x[flat_idx] if x.ndim >= 1 and x.shape[0] == B * K else x
+
+    return jax.tree.map(gather, tree)
+
+
+def beam_search(
+    step_fn: Callable[[Any, Array, Array], Tuple[Array, Any]],
+    init_cache: Any,
+    batch_size: int,
+    num_beams: int,
+    max_length: int,
+    bos_token_id: int,
+    eos_token_id: int,
+    pad_token_id: int,
+) -> Tuple[Array, Array]:
+    """Returns (sequences (B, K, max_length), scores (B, K)) best-first.
+
+    step_fn(cache, tokens (B*K, 1), position) -> (logits (B*K, 1, V), cache).
+    """
+    B, K, T = batch_size, num_beams, max_length
+
+    live_seqs = jnp.full((B, K, T), pad_token_id, dtype=jnp.int32)
+    live_seqs = live_seqs.at[:, :, 0].set(bos_token_id)
+    # only beam 0 is a real hypothesis at the start
+    live_scores = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B, 1))
+    fin_seqs = jnp.full((B, K, T), pad_token_id, dtype=jnp.int32)
+    fin_scores = jnp.full((B, K), NEG_INF)
+    fin_flags = jnp.zeros((B, K), dtype=jnp.bool_)
+
+    def cond(state):
+        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, cache = state
+        not_max = cur_len < T
+        # early_stopping=False heuristic: a live beam can still enter the
+        # finished pool iff its (non-increasing) score beats the worst
+        # finished score or a slot is empty
+        worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
+        best_live = live_scores.max(axis=1)
+        improvable = jnp.any((best_live > worst_fin) | ~fin_flags.all(axis=1))
+        return not_max & improvable
+
+    def body(state):
+        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, cache = state
+        tokens = jax.lax.dynamic_slice_in_dim(live_seqs, cur_len - 1, 1, axis=2)
+        logits, cache = step_fn(cache, tokens.reshape(B * K, 1), cur_len - 1)
+        V = logits.shape[-1]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logp = logp.reshape(B, K, V)
+
+        cand = live_scores[:, :, None] + logp              # (B, K, V)
+        flat = cand.reshape(B, K * V)
+        topv, topi = jax.lax.top_k(flat, 2 * K)            # (B, 2K)
+        beam_idx = topi // V
+        tok_idx = topi % V
+
+        # candidate sequences with the new token written at cur_len
+        cand_seqs = jnp.take_along_axis(live_seqs, beam_idx[:, :, None], axis=1)
+        cand_seqs = jax.lax.dynamic_update_slice_in_dim(
+            cand_seqs, tok_idx[:, :, None].astype(jnp.int32), cur_len, axis=2)
+        is_eos = tok_idx == eos_token_id
+
+        # --- next live beams: best K non-eos candidates ---
+        live_cand_scores = jnp.where(is_eos, NEG_INF, topv)
+        new_live_scores, live_sel = jax.lax.top_k(live_cand_scores, K)
+        new_live_seqs = jnp.take_along_axis(cand_seqs, live_sel[:, :, None], axis=1)
+        live_beam_sel = jnp.take_along_axis(beam_idx, live_sel, axis=1)
+        cache = _gather_beams(cache, live_beam_sel, B, K)
+
+        # --- finished pool: merge eos candidates ---
+        fin_cand_scores = jnp.where(is_eos, topv, NEG_INF)
+        all_scores = jnp.concatenate([fin_scores, fin_cand_scores], axis=1)
+        all_flags = jnp.concatenate(
+            [fin_flags, is_eos], axis=1)
+        all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        new_fin_scores, fin_sel = jax.lax.top_k(all_scores, K)
+        new_fin_seqs = jnp.take_along_axis(all_seqs, fin_sel[:, :, None], axis=1)
+        new_fin_flags = jnp.take_along_axis(all_flags, fin_sel, axis=1)
+
+        return (cur_len + 1, new_live_seqs, new_live_scores, new_fin_seqs,
+                new_fin_scores, new_fin_flags, cache)
+
+    state = (jnp.asarray(1, jnp.int32), live_seqs, live_scores, fin_seqs,
+             fin_scores, fin_flags, init_cache)
+    (_, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, _) = \
+        jax.lax.while_loop(cond, body, state)
+
+    # HF finalize: live beams join the finished pool, best K overall win
+    all_scores = jnp.concatenate(
+        [jnp.where(fin_flags, fin_scores, NEG_INF), live_scores], axis=1)
+    all_seqs = jnp.concatenate([fin_seqs, live_seqs], axis=1)
+    final_scores, sel = jax.lax.top_k(all_scores, K)
+    final_seqs = jnp.take_along_axis(all_seqs, sel[:, :, None], axis=1)
+    return final_seqs, final_scores

@@ -53,7 +53,14 @@ class CheckpointManager:
             json.dump(meta or {}, f)
 
     def restore(self, name: str, target: Any) -> Tuple[Any, dict]:
+        """Restore into `target`'s tree structure, then re-place every leaf
+        with `target`'s sharding (orbax may otherwise hand back
+        single-device arrays that clash with mesh-sharded params)."""
+        import jax
         state = self._ckptr.restore(self._dir(name), target)
+        state = jax.tree.map(
+            lambda x, t: jax.device_put(x, t.sharding)
+            if hasattr(t, "sharding") else x, state, target)
         meta = {}
         if os.path.exists(self._meta_path(name)):
             with open(self._meta_path(name)) as f:

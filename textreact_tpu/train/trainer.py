@@ -1,0 +1,346 @@
+"""Training/eval/test orchestration.
+
+Role of reference main.py:100-412 (LightningModule + DataModule + Trainer):
+epoch loop with per-step jitted updates, dual-corpus evaluation every
+eval_per_epoch epochs, best/last checkpointing on the val metric, resume,
+beam-search testing with prediction JSON + accuracy dicts.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random as _random
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ExperimentConfig
+from ..data import (DATASET_CLS, Batch, Collator, DataLoader,
+                    generate_train_label_corpus, read_corpus)
+from ..evaluation import (evaluate_reaction_condition, evaluate_retrosynthesis,
+                          gather_prediction_each_neighbor, rank_edits)
+from ..inference.predictor import Generator, predictions_from_beams
+from ..models import build_model
+from ..parallel.mesh import batch_sharding, make_mesh
+from ..parallel.sharding import shard_params
+from ..tokenizers import get_tokenizers
+from ..utils.logging import MetricLogger, log, setup_logging
+from ..utils.profiling import StepTimer
+from .checkpoint import CheckpointManager
+from .optim import make_optimizer
+from .step import TrainState, make_eval_step, make_train_step
+from . import losses
+
+
+class Trainer:
+    def __init__(self, cfg: ExperimentConfig):
+        setup_logging()
+        cfg.validate()
+        self.cfg = cfg
+        _random.seed(cfg.seed)
+        np.random.seed(cfg.seed)
+
+        self.enc_tokenizer, self.dec_tokenizer = get_tokenizers(cfg)
+        self.module, self.enc_config, self.dec_config = build_model(
+            cfg, self.enc_tokenizer, self.dec_tokenizer)
+        self.mesh = make_mesh(cfg.dp_size, cfg.tp_size)
+        self.batch_sharding = batch_sharding(self.mesh)
+        self.ckpt = CheckpointManager(cfg.save_path, cfg.val_metric)
+        self.metrics = MetricLogger(cfg.save_path, use_wandb=not cfg.debug)
+        if cfg.template_based:
+            self.dec_pad_id = 0
+        else:
+            self.dec_pad_id = self.dec_tokenizer.pad_token_id
+
+        self.collator = Collator(cfg, self.enc_tokenizer.pad_token_id,
+                                 self.dec_pad_id)
+        self.train_dataset = None
+        self.val_dataset = None
+        self.test_dataset = None
+        self._state: Optional[TrainState] = None
+        self._tx = None
+
+    # ------------------------------------------------------------------
+    # data (reference main.py:279-346)
+    # ------------------------------------------------------------------
+    def prepare_data(self) -> None:
+        cfg = self.cfg
+        dataset_cls = DATASET_CLS[cfg.task]
+
+        def build(file, split):
+            ds = dataset_cls(cfg, os.path.join(cfg.data_path, file),
+                             self.enc_tokenizer, self.dec_tokenizer, split=split)
+            log.info("%s dataset: %d", split, len(ds))
+            return ds
+
+        if cfg.do_train:
+            self.train_dataset = build(cfg.train_file, "train")
+        if cfg.do_train or cfg.do_valid:
+            self.val_dataset = build(cfg.valid_file, "val")
+        if cfg.do_test:
+            self.test_dataset = build(cfg.test_file, "test")
+        if cfg.corpus_file:
+            if cfg.train_label_corpus:
+                corpus = generate_train_label_corpus(
+                    os.path.join(cfg.data_path, cfg.train_file))
+            else:
+                corpus = read_corpus(cfg.corpus_file, cfg.cache_path)
+            nn = lambda f: os.path.join(cfg.nn_path, f)
+            if self.train_dataset is not None:
+                self.train_dataset.load_corpus(corpus, nn(cfg.train_nn_file))
+                self._print_example(self.train_dataset)
+            if self.val_dataset is not None:
+                self.val_dataset.load_corpus(corpus, nn(cfg.valid_nn_file))
+            if self.test_dataset is not None:
+                self.test_dataset.load_corpus(corpus, nn(cfg.test_nn_file))
+
+    def _print_example(self, dataset) -> None:
+        """Decode + log the first train example (reference dataset.py:154-168)."""
+        ex = dataset.example(0, rng=_random.Random(0), augment=False)
+        log.info("example encoder input: %s",
+                 self.enc_tokenizer.decode(ex["input_ids"]))
+        if not self.cfg.template_based and "decoder_input_ids" in ex:
+            log.info("example decoder input: %s",
+                     self.dec_tokenizer.decode(ex["decoder_input_ids"]))
+
+    def _loaders(self, dataset, eval_mode: bool) -> List[DataLoader]:
+        cfg = self.cfg
+        bs = cfg.test_batch_size if dataset is self.test_dataset else cfg.batch_size
+        kw = dict(collator=self.collator, batch_size=bs, seed=cfg.seed)
+        if not eval_mode:
+            return [DataLoader(dataset, shuffle=True, **kw)]
+        loaders = [DataLoader(dataset, shuffle=False, augment=False, **kw)]
+        if cfg.corpus_file:
+            # dual-corpus eval: full + gold-removed (main.py:330-340)
+            loaders.append(DataLoader(dataset.with_skip_gold(), shuffle=False,
+                                      augment=False, **kw))
+        return loaders
+
+    # ------------------------------------------------------------------
+    # model state
+    # ------------------------------------------------------------------
+    def _init_params(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        L = min(cfg.max_length, 64)
+        dummy = {
+            "input_ids": jnp.zeros((2, L), jnp.int32),
+            "attention_mask": jnp.ones((2, L), jnp.int32),
+        }
+        if cfg.template_based:
+            dummy["atom_indices"] = jnp.zeros((2, 8), jnp.int32)
+            dummy["bond_pairs"] = jnp.zeros((2, 8, 2), jnp.int32)
+        else:
+            dummy["decoder_input_ids"] = jnp.zeros((2, 8), jnp.int32)
+            dummy["decoder_attention_mask"] = jnp.ones((2, 8), jnp.int32)
+        if cfg.mlm:
+            dummy["mlm_prefix_len"] = 16 if L >= 16 else L
+        params = self.module.init(rng, **dummy)
+        if cfg.encoder_pretrained and self.cfg.encoder and os.path.isdir(self.cfg.encoder):
+            from ..models.import_hf import load_pretrained_encoder
+            params = load_pretrained_encoder(params, self.cfg.encoder,
+                                             self.enc_config)
+        return shard_params(self.mesh, params)
+
+    def _num_training_steps(self) -> int:
+        cfg = self.cfg
+        steps_per_epoch = math.ceil(
+            len(self.train_dataset)
+            / (cfg.batch_size * cfg.gradient_accumulation_steps))
+        return steps_per_epoch * cfg.epochs
+
+    def _device_batch(self, batch: Batch) -> Dict[str, jax.Array]:
+        return {k: jax.device_put(v, self.batch_sharding)
+                for k, v in batch.arrays.items()}
+
+    # ------------------------------------------------------------------
+    # fit (reference main.py:386-397)
+    # ------------------------------------------------------------------
+    def fit(self) -> None:
+        cfg = self.cfg
+        num_steps = self._num_training_steps()
+        log.info("num training steps: %d", num_steps)
+        self._tx = make_optimizer(cfg, num_steps)
+        train_step = make_train_step(self.module, cfg, self._tx, self.dec_pad_id)
+        eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
+
+        start_epoch, best_score = 0, None
+        if cfg.overwrite:
+            self.ckpt.clear()
+        params = self._init_params()
+        state = TrainState.create(params, self._tx)
+        if self.ckpt.exists(cfg.load_ckpt):
+            state, meta = self.ckpt.restore(cfg.load_ckpt, state)
+            start_epoch = int(meta.get("epoch", -1)) + 1
+            best_score = meta.get(cfg.val_metric)
+            log.info("resumed from %s at epoch %d", cfg.load_ckpt, start_epoch)
+
+        rng = jax.random.PRNGKey(cfg.seed)
+        loader = self._loaders(self.train_dataset, eval_mode=False)[0]
+        timer = StepTimer()
+        global_step = int(state.step)
+        with self.mesh:
+            for epoch in range(start_epoch, cfg.epochs):
+                loader.set_epoch(epoch)
+                for batch in loader:
+                    state, metrics = train_step(state, self._device_batch(batch), rng)
+                    timer.tick()
+                    global_step += 1
+                    if global_step % cfg.log_every == 0:
+                        host = {k: float(v) for k, v in metrics.items()}
+                        host["steps_per_sec"] = timer.steps_per_sec
+                        host["epoch"] = epoch
+                        self.metrics.log(host, global_step)
+                if (epoch + 1) % cfg.eval_per_epoch == 0 and self.val_dataset is not None:
+                    scores = self._run_validation(eval_step, state.params)
+                    self.metrics.log(scores, global_step)
+                    log.info("epoch %d: %s", epoch, scores)
+                    best_score = self.ckpt.save_eval(
+                        state, scores[cfg.val_metric], best_score, epoch)
+                else:
+                    self.ckpt.save("last", state, {"epoch": epoch})
+        self._state = state
+
+    # ------------------------------------------------------------------
+    # validation (reference main.py:177-196)
+    # ------------------------------------------------------------------
+    def _run_validation(self, eval_step, params) -> Dict[str, float]:
+        cfg = self.cfg
+        out: Dict[str, float] = {}
+        with self.mesh:
+            for li, loader in enumerate(self._loaders(self.val_dataset, True)):
+                per_example: Dict[int, float] = {}
+                for batch in loader:
+                    res = eval_step(params, self._device_batch(batch))
+                    key = "acc" if cfg.val_metric == "val_acc" and "acc" in res else "loss"
+                    if cfg.template_based and cfg.val_metric == "val_acc":
+                        scores = self._template_top1(res, batch)
+                    else:
+                        scores = np.asarray(res[key])
+                    mask = np.asarray(res["example_mask"]).astype(bool)
+                    idxs = np.asarray(res["indices"])
+                    for i, s in zip(idxs[mask], scores[mask]):
+                        per_example[int(i)] = float(s)
+                name = cfg.val_metric if li == 0 else f"{cfg.val_metric}/{li}"
+                out[name] = float(np.mean(list(per_example.values())))
+        return out
+
+    def _template_top1(self, res, batch: Batch) -> np.ndarray:
+        """Greedy template accuracy (reference main.py:139-149): top-ranked
+        edit in the gold raw label set, scaled by 1/len(labels)."""
+        atom_probs = np.asarray(res["atom_probs"])
+        bond_probs = np.asarray(res["bond_probs"])
+        B = atom_probs.shape[0]
+        out = np.zeros((B,), dtype=np.float32)
+        for b, (bonds, raw) in enumerate(zip(batch.host["bonds"],
+                                             batch.host["raw_template_labels"])):
+            edits, _ = rank_edits(atom_probs[b], bond_probs[b], bonds, top_num=1)
+            hit = bool(edits) and edits[0] in [tuple(r) for r in raw]
+            out[b] = float(hit) / max(len(raw), 1)
+        return out
+
+    def validate(self) -> Dict[str, float]:
+        eval_step = make_eval_step(self.module, self.cfg, self.dec_pad_id)
+        state = self._load_for_eval()
+        scores = self._run_validation(eval_step, state.params)
+        log.info("validation: %s", scores)
+        return scores
+
+    # ------------------------------------------------------------------
+    # test (reference main.py:198-257)
+    # ------------------------------------------------------------------
+    def test(self) -> List[Dict]:
+        cfg = self.cfg
+        state = self._load_for_eval()
+        results = []
+        with self.mesh:
+            for li, loader in enumerate(self._loaders(self.test_dataset, True)):
+                predictions = self._predict(loader, state.params)
+                if cfg.test_each_neighbor:
+                    predictions = gather_prediction_each_neighbor(
+                        predictions, cfg.test_num_neighbors)
+                path = os.path.join(
+                    cfg.save_path, f"prediction_{self.test_dataset.name}_{li}.json")
+                with open(path, "w") as f:
+                    json.dump(predictions, f)
+                if cfg.task == "condition":
+                    accuracy = evaluate_reaction_condition(
+                        predictions, self.test_dataset.data_df)
+                else:
+                    accuracy = evaluate_retrosynthesis(
+                        predictions, self.test_dataset.data_df, cfg.num_beams,
+                        template_based=cfg.template_based,
+                        template_path=cfg.template_path)
+                log.info("test accuracy (%d): %s", li, accuracy)
+                print(json.dumps({str(k): v for k, v in accuracy.items()}))
+                results.append(accuracy)
+        return results
+
+    def _predict(self, loader, params) -> Dict[int, Dict[str, Any]]:
+        cfg = self.cfg
+        predictions: Dict[int, Dict[str, Any]] = {}
+        if cfg.template_based:
+            eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
+            for batch in loader:
+                res = eval_step(params, self._device_batch(batch))
+                atom_probs = np.asarray(res["atom_probs"])
+                bond_probs = np.asarray(res["bond_probs"])
+                mask = np.asarray(res["example_mask"]).astype(bool)
+                idxs = np.asarray(res["indices"])
+                for b in np.nonzero(mask)[0]:
+                    bonds = batch.host["bonds"][b]
+                    raw = [tuple(r) for r in batch.host["raw_template_labels"][b]]
+                    edits, probs = rank_edits(atom_probs[b], bond_probs[b],
+                                              bonds, top_num=500)
+                    predictions[int(idxs[b])] = {
+                        "prediction": edits,
+                        "score": probs,
+                        "raw_template_labels": raw,
+                        "top1_template_match": bool(edits) and edits[0] in raw,
+                    }
+        else:
+            generator = Generator(self.module, params, cfg.num_beams,
+                                  cfg.max_dec_length)
+            for batch in loader:
+                seqs, scores = generator.generate(batch.arrays)
+                predictions.update(predictions_from_beams(
+                    seqs, scores, batch.arrays["indices"],
+                    batch.arrays["example_mask"], self.dec_tokenizer))
+        return predictions
+
+    def _load_for_eval(self) -> TrainState:
+        cfg = self.cfg
+        if self._state is not None:
+            return self._state
+        tx = self._tx or make_optimizer(cfg, max(1, self._safe_num_steps()))
+        state = TrainState.create(self._init_params(), tx)
+        name = cfg.load_ckpt if self.ckpt.exists(cfg.load_ckpt) else "best"
+        if self.ckpt.exists(name):
+            state, _ = self.ckpt.restore(name, state)
+            log.info("loaded checkpoint: %s", name)
+        else:
+            log.warning("no checkpoint found in %s; evaluating random init",
+                        cfg.save_path)
+        self._state = state
+        return state
+
+    def _safe_num_steps(self) -> int:
+        if self.train_dataset is not None:
+            return self._num_training_steps()
+        return 1000
+
+
+def run(cfg: ExperimentConfig) -> None:
+    """Full experiment driver (reference main.py:349-412)."""
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    if cfg.do_train:
+        trainer.fit()
+    if cfg.do_valid:
+        trainer.validate()
+    if cfg.do_test:
+        trainer.test()
