@@ -24,7 +24,8 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
     N, D, K = (200_000, 1024, 20) if on_tpu else (20_000, 256, 20)
-    M = 2048 if on_tpu else 128
+    # large query batch amortizes the host<->device transfer per call
+    M = 8192 if on_tpu else 128
 
     rng = np.random.default_rng(0)
     corpus = (rng.random((N, D)) < 0.08).astype(np.int8)

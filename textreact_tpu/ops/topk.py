@@ -38,7 +38,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
-                 run_vals, run_idx, *, k: int, tile_c: int, num_c_tiles: int):
+                 run_vals, run_idx, *, k: int, tile_c: int, num_c_tiles: int,
+                 packed: bool):
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -62,24 +63,61 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
     for b in range(nb):
         scores = jnp.where(col_idx == banned_ref[:, b][:, None], BIG, scores)
 
-    combined_vals = jnp.concatenate([run_vals[:], scores], axis=1)
-    combined_idx = jnp.concatenate([run_idx[:], col_idx], axis=1)
-    # k extraction passes built from min-reductions only (integer argmin has
-    # no Mosaic lowering). Tie rule: among equal distances pick the smallest
-    # global index — exactly faiss's behavior — via a min over indices
-    # restricted to the min-valued columns.
-    new_vals, new_idx = [], []
-    for _ in range(k):
-        m = jnp.min(combined_vals, axis=1)                     # (TQ,)
-        at_min = combined_vals == m[:, None]
-        idx_j = jnp.min(jnp.where(at_min, combined_idx, BIG), axis=1)
-        new_vals.append(m)
-        new_idx.append(idx_j)
-        # retire exactly the selected column (same value AND same index)
-        sel = at_min & (combined_idx == idx_j[:, None])
-        combined_vals = jnp.where(sel, BIG, combined_vals)
-    run_vals[:] = jnp.stack(new_vals, axis=1)
-    run_idx[:] = jnp.stack(new_idx, axis=1)
+    # Early skip: the k-pass selection below costs ~k VPU sweeps of the tile,
+    # an order of magnitude more than the MXU matmul. A tile can only change
+    # the running top-k if some row's tile minimum beats that row's current
+    # k-th distance — after the first few tiles almost none do, so the
+    # amortized selection cost drops to the single min sweep.
+    tile_min = jnp.min(scores, axis=1)                      # (TQ,)
+    kth = run_vals[:, k - 1]
+    need_merge = jnp.any(tile_min < kth)
+
+    def extract_k(vals, idxs, count):
+        """`count` min-extraction passes built from min-reductions only
+        (integer argmin has no Mosaic lowering). Tie rule: among equal
+        values pick the smallest index — exactly faiss's behavior."""
+        out_v, out_i = [], []
+        for _ in range(count):
+            m = jnp.min(vals, axis=1)                          # (TQ,)
+            at_min = vals == m[:, None]
+            idx_j = jnp.min(jnp.where(at_min, idxs, BIG), axis=1)
+            out_v.append(m)
+            out_i.append(idx_j)
+            # retire exactly the selected column (same value AND same index)
+            vals = jnp.where(at_min & (idxs == idx_j[:, None]), BIG, vals)
+        return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
+
+    @pl.when(need_merge)
+    def _():
+        if packed:
+            # Binary-fingerprint fast path: scores fit in a few bits, so the
+            # tile-local (score, column) pair packs into one int32 key:
+            # min-extraction needs 2 sweeps/pass instead of 5, and the
+            # packed min already implements the lowest-index tie rule.
+            shift = tile_c.bit_length()
+            bias = 2 * (c.shape[1] + 1)
+            keys = ((scores + bias) << shift) | (col_idx - ci * tile_c)
+            keys = jnp.where(scores >= BIG, BIG, keys)
+            tile_v, tile_i = [], []
+            for _ in range(k):
+                m = jnp.min(keys, axis=1)                      # (TQ,)
+                tile_v.append((m >> shift) - bias)
+                tile_i.append((m & ((1 << shift) - 1)) + ci * tile_c)
+                keys = jnp.where(keys == m[:, None], BIG, keys)
+            tile_vals = jnp.stack(tile_v, axis=1)
+            tile_idx = jnp.stack(tile_i, axis=1)
+            # sentinel rows decode garbage idx; restore BIG markers
+            tile_idx = jnp.where(tile_vals >= BIG >> shift, BIG, tile_idx)
+            tile_vals = jnp.where(tile_vals >= BIG >> shift, BIG, tile_vals)
+            merged_v = jnp.concatenate([run_vals[:], tile_vals], axis=1)
+            merged_i = jnp.concatenate([run_idx[:], tile_idx], axis=1)
+            rv, ri = extract_k(merged_v, merged_i, k)
+        else:
+            combined_vals = jnp.concatenate([run_vals[:], scores], axis=1)
+            combined_idx = jnp.concatenate([run_idx[:], col_idx], axis=1)
+            rv, ri = extract_k(combined_vals, combined_idx, k)
+        run_vals[:] = rv
+        run_idx[:] = ri
 
     @pl.when(ci == num_c_tiles - 1)
     def _():
@@ -87,12 +125,14 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
         idx_ref[:] = run_idx[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_c", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_c",
+                                             "interpret", "packed"))
 def exact_topk_l2(queries: jax.Array, corpus: jax.Array,
                   corpus_norms: jax.Array,
                   banned: Optional[jax.Array] = None, *, k: int = 20,
                   tile_q: int = 128, tile_c: int = 1024,
-                  interpret: bool = False) -> Tuple[jax.Array, jax.Array]:
+                  interpret: bool = False,
+                  packed: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k smallest L2^2 distances.
 
     queries: (M, d) int8, corpus: (N, d) int8 — d a multiple of 128, M/N
@@ -110,8 +150,11 @@ def exact_topk_l2(queries: jax.Array, corpus: jax.Array,
         banned = jnp.full((M, 1), -1, dtype=jnp.int32)
     num_q, num_c = M // tile_q, N // tile_c
 
+    if packed:
+        # packed keys must fit below the BIG sentinel
+        assert (3 * d + 2) << tile_c.bit_length() < BIG, (d, tile_c)
     kernel = functools.partial(_topk_kernel, k=k, tile_c=tile_c,
-                               num_c_tiles=num_c)
+                               num_c_tiles=num_c, packed=packed)
     vals, idx = pl.pallas_call(
         kernel,
         grid=(num_q, num_c),

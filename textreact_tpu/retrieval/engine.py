@@ -49,6 +49,9 @@ class FlatIndex:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        # binary fingerprints enable the packed-key kernel fast path
+        self.corpus_binary = (corpus_fps.size == 0 or
+                              (corpus_fps.min() >= 0 and corpus_fps.max() <= 1))
 
         # pad rows so every shard is a whole number of corpus tiles
         tile_c = min(tile_c, _cdiv(max(self.n_real, 1), self.n_shards))
@@ -72,7 +75,7 @@ class FlatIndex:
         self._search_fn = None
 
     # ------------------------------------------------------------------
-    def _build_search(self, k: int, nb: int):
+    def _build_search(self, k: int, nb: int, packed: bool):
         tile_q, tile_c, interpret = self.tile_q, self.tile_c, self.interpret
         shard_rows = self.shard_rows
 
@@ -80,7 +83,7 @@ class FlatIndex:
             def search(queries, corpus, norms, banned):
                 return exact_topk_l2(queries, corpus, norms, banned, k=k,
                                      tile_q=tile_q, tile_c=tile_c,
-                                     interpret=interpret)
+                                     interpret=interpret, packed=packed)
             return jax.jit(search)
 
         mesh = self.mesh
@@ -90,7 +93,8 @@ class FlatIndex:
             offset = shard * shard_rows
             vals, idx = exact_topk_l2(
                 queries, corpus, norms, banned - offset, k=k,
-                tile_q=tile_q, tile_c=tile_c, interpret=interpret)
+                tile_q=tile_q, tile_c=tile_c, interpret=interpret,
+                packed=packed)
             idx = jnp.where(idx >= BIG, idx, idx + offset)
             return vals[None], idx[None]
 
@@ -128,9 +132,12 @@ class FlatIndex:
         else:
             banned_arr = np.full((q.shape[0], banned.shape[1]), -1, dtype=np.int32)
             banned_arr[:M] = banned
-        key = (k, banned_arr.shape[1])
+        packed = (self.corpus_binary and queries.min() >= 0
+                  and queries.max() <= 1
+                  and (3 * self.dim + 2) << self.tile_c.bit_length() < BIG)
+        key = (k, banned_arr.shape[1], packed)
         if self._search_fn is None or self._search_key != key:
-            self._search_fn = self._build_search(k, banned_arr.shape[1])
+            self._search_fn = self._build_search(k, banned_arr.shape[1], packed)
             self._search_key = key
         vals, idx = self._search_fn(jnp.asarray(q), self.corpus, self.norms,
                                     jnp.asarray(banned_arr))
