@@ -1,0 +1,39 @@
+#!/bin/bash
+# RCR (reaction condition recommendation), random split.
+# Translation of the reference train_RCR.sh recipe to the TPU framework:
+# batch_size here is the GLOBAL batch (sharded over the dp mesh axis),
+# bf16 compute replaces fp16-mixed, and --text_vocab_file points at a local
+# SciBERT WordPiece vocab.
+SAVE_PATH=output/RCR_textreact
+NN_PATH=data/Tevatron_output/RCR/
+mkdir -p ${SAVE_PATH}
+
+python -m textreact_tpu.cli.main \
+    --task condition \
+    --encoder allenai/scibert_scivocab_uncased \
+    --decoder textreact_tpu/models/configs/bert_l6.json \
+    --encoder_pretrained \
+    --data_path data/RCR/ \
+    --train_file train.csv \
+    --valid_file val.csv \
+    --test_file test.csv \
+    --vocab_file textreact_tpu/assets/condition_vocab.txt \
+    --text_vocab_file data/scibert_scivocab_uncased/vocab.txt \
+    --corpus_file data/USPTO_rxn_corpus.csv \
+    --nn_path ${NN_PATH} \
+    --train_nn_file train_rank.json \
+    --valid_nn_file val_rank.json \
+    --test_nn_file test_rank.json \
+    --num_neighbors 3 \
+    --use_gold_neighbor \
+    --save_path ${SAVE_PATH} \
+    --max_length 512 \
+    --shuffle_smiles \
+    --mlm --mlm_ratio 0.15 --mlm_layer mlp --mlm_lambda 0.1 \
+    --lr 1e-4 \
+    --batch_size 128 \
+    --epochs 20 \
+    --warmup 0.02 \
+    --do_train --do_valid --do_test \
+    --num_beams 15 \
+    --compute_dtype bfloat16
