@@ -1,0 +1,51 @@
+"""Native C++ chem kernel: bit-identical to the python implementation."""
+
+import numpy as np
+import pytest
+
+from textreact_tpu.chem import morgan_fingerprint, reaction_difference_fingerprint
+from textreact_tpu.chem.native import (native_available, native_morgan_batch,
+                                       native_morgan_fingerprint,
+                                       native_reaction_fingerprint)
+
+SMILES = [
+    "C", "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "N#Cc1ccccc1",
+    "[Na+].[Cl-]", "Clc1ccc(Br)cc1", "O=S(=O)(O)O", "[13CH3][NH3+]",
+    "C[C@H](N)C(=O)O", "c1cnc2[nH]ccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+    "COc1ccc2[nH]c3ccccc3c2c1", "[O-][n+]1ccccc1", "C1CC2CCC1CC2",
+    "not_a_smiles", "",
+]
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="no C++ toolchain available")
+
+
+def test_native_morgan_matches_python():
+    for smi in SMILES:
+        py = morgan_fingerprint(smi)
+        cc = native_morgan_fingerprint(smi)
+        assert np.array_equal(py, cc), smi
+
+
+def test_native_morgan_counts_match_python():
+    for smi in SMILES:
+        py = morgan_fingerprint(smi, counts=True)
+        cc = native_morgan_fingerprint(smi, counts=True)
+        assert np.array_equal(py, cc), smi
+
+
+def test_native_reaction_fp_matches_python():
+    for rxn in ["CCO.CC(=O)O>>CC(=O)OCC", "CCO>>CCO",
+                "CC(=O)OCC>>CCO.CC(=O)O",
+                "Clc1ccccc1.CN>>CNc1ccccc1"]:
+        py = reaction_difference_fingerprint(rxn)
+        cc = native_reaction_fingerprint(rxn)
+        assert np.array_equal(py, cc), rxn
+
+
+def test_native_batch():
+    valid = [s for s in SMILES if s]
+    batch = native_morgan_batch(valid)
+    assert batch.shape == (len(valid), 1024)
+    for i, smi in enumerate(valid):
+        assert np.array_equal(batch[i], morgan_fingerprint(smi).astype(np.int8)), smi

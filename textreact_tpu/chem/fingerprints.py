@@ -148,12 +148,18 @@ def fingerprint_matrix(smiles_list, kind: str = "morgan", n_bits: Optional[int] 
     retrieval). `num_workers>0` uses a process pool like the reference
     (retrieve_faiss.py:30-33).
     """
+    from .native import native_available
     if kind == "morgan":
         n_bits = n_bits or 1024
+        if native_available():
+            from .native import native_morgan_batch
+            return native_morgan_batch(list(smiles_list), n_bits=n_bits
+                                       ).astype(np.uint8)
         fn = _MorganWorker(n_bits)
     elif kind == "reaction":
         n_bits = n_bits or 2048
-        fn = _ReactionWorker(n_bits)
+        fn = (_NativeReactionWorker(n_bits) if native_available()
+              else _ReactionWorker(n_bits))
     else:
         raise ValueError(kind)
     if num_workers and num_workers > 1:
@@ -180,5 +186,17 @@ class _ReactionWorker:
     def __call__(self, smiles: str) -> np.ndarray:
         try:
             return reaction_difference_fingerprint(smiles, n_bits=self.n_bits)
+        except Exception:
+            return np.zeros((self.n_bits,), dtype=np.int32)
+
+
+class _NativeReactionWorker:
+    def __init__(self, n_bits: int):
+        self.n_bits = n_bits
+
+    def __call__(self, smiles: str) -> np.ndarray:
+        from .native import native_reaction_fingerprint
+        try:
+            return native_reaction_fingerprint(smiles, n_bits=self.n_bits)
         except Exception:
             return np.zeros((self.n_bits,), dtype=np.int32)
