@@ -44,14 +44,15 @@ def tanimoto_similarities(query_fp: np.ndarray, corpus_fps: np.ndarray
 
 def count_tanimoto_similarities(query_fp: np.ndarray, corpus_fps: np.ndarray
                                 ) -> np.ndarray:
-    """Tanimoto generalized to count vectors (sum-min / sum-max), the metric
-    the reference's brute-force reaction-similarity scan computes over
-    difference fingerprints (retrieve.py:15-29)."""
-    q = query_fp[None, :].astype(np.int64)
-    c = corpus_fps.astype(np.int64)
-    inter = np.minimum(q, c).sum(axis=1).astype(np.float64)
-    union = np.maximum(q, c).sum(axis=1).astype(np.float64)
-    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
+    """Extended (real-valued) Tanimoto: q.c / (|q|^2 + |c|^2 - q.c) — the
+    formula RDKit applies to count/difference fingerprints, used by the
+    reference's brute-force reaction-similarity scan (retrieve.py:15-29).
+    Handles the negative entries of difference fingerprints."""
+    q = query_fp.astype(np.float64)
+    c = corpus_fps.astype(np.float64)
+    dot = c @ q
+    denom = (q * q).sum() + (c * c).sum(axis=1) - dot
+    return np.where(denom != 0, dot / np.where(denom == 0, 1, denom), 0.0)
 
 
 def brute_force_rank(similarities: np.ndarray, top: int = 100):
