@@ -1,0 +1,60 @@
+"""Multi-host (multi-process) support.
+
+Role of the reference's NCCL process topology + dist.all_gather_object for
+eval outputs (reference main.py:259-268). TPU-native design: processes are
+initialized through jax.distributed; per-example eval scores are gathered
+as fixed-shape (index, score) arrays via multihost_utils instead of pickled
+python objects, then merged id-keyed (duplicate indices from padding
+collapse in the dict union, mirroring the reference's dict-merge trick,
+SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize wrapper (no-op when single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_score_dict(local: Dict[int, float]) -> Dict[int, float]:
+    """Union per-example {index: score} dicts across processes.
+
+    Single-process: identity. Multi-process: pad to the max local count,
+    all-gather fixed-shape (index, score) arrays over DCN, drop padding
+    (index < 0), merge.
+    """
+    if jax.process_count() == 1:
+        return local
+    from jax.experimental import multihost_utils
+
+    n_local = len(local)
+    max_n = int(multihost_utils.process_allgather(np.array([n_local])).max())
+    idx = np.full((max_n,), -1, dtype=np.int64)
+    val = np.zeros((max_n,), dtype=np.float64)
+    for i, (k, v) in enumerate(local.items()):
+        idx[i] = k
+        val[i] = v
+    all_idx = multihost_utils.process_allgather(idx)   # (P, max_n)
+    all_val = multihost_utils.process_allgather(val)
+    merged: Dict[int, float] = {}
+    for row_i, row_v in zip(np.asarray(all_idx), np.asarray(all_val)):
+        for k, v in zip(row_i, row_v):
+            if k >= 0:
+                merged[int(k)] = float(v)
+    return merged

@@ -183,7 +183,9 @@ class Trainer:
         loader = self._loaders(self.train_dataset, eval_mode=False)[0]
         timer = StepTimer()
         global_step = int(state.step)
-        with self.mesh:
+        from ..utils.profiling import trace
+        profile_dir = os.path.join(cfg.save_path, "profile") if cfg.profile else None
+        with self.mesh, trace(profile_dir):
             for epoch in range(start_epoch, cfg.epochs):
                 loader.set_epoch(epoch)
                 for batch in loader:
@@ -225,6 +227,10 @@ class Trainer:
                     idxs = np.asarray(res["indices"])
                     for i, s in zip(idxs[mask], scores[mask]):
                         per_example[int(i)] = float(s)
+                # multi-process: union the id-keyed scores over DCN
+                # (replaces reference dist.all_gather_object, main.py:259-268)
+                from ..parallel.multihost import gather_score_dict
+                per_example = gather_score_dict(per_example)
                 name = cfg.val_metric if li == 0 else f"{cfg.val_metric}/{li}"
                 out[name] = float(np.mean(list(per_example.values())))
         return out
