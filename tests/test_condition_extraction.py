@@ -1,0 +1,105 @@
+"""CML extraction + condition filtering pipeline tests (stdlib XML)."""
+
+import pandas as pd
+import pytest
+
+from textreact_tpu.preprocess.aides import extract_non_smiles, merge_name_to_smiles
+from textreact_tpu.preprocess.condition_extraction import (
+    SPLIT_TOKEN, filter_and_split_conditions, merge_and_dedup,
+    parse_cml_reactions, split_condition_slots)
+
+CML = """<?xml version="1.0"?>
+<reactionList xmlns="http://www.xml-cml.org/schema"
+              xmlns:dl="http://bitbucket.org/dan2097">
+  <reaction>
+    <dl:source>
+      <dl:documentId>US07654321</dl:documentId>
+      <dl:headingText>Example 1</dl:headingText>
+      <dl:paragraphText>The mixture was stirred overnight.</dl:paragraphText>
+    </dl:source>
+    <dl:reactionSmiles>CCO.CC(=O)O&gt;&gt;CC(=O)OCC</dl:reactionSmiles>
+    <spectatorList>
+      <spectator role="solvent">
+        <identifier dictRef="cml:smiles" value="ClCCl"/>
+      </spectator>
+      <spectator role="catalyst">
+        <identifier dictRef="cml:smiles" value="OS(=O)(=O)O"/>
+      </spectator>
+    </spectatorList>
+  </reaction>
+  <reaction>
+    <dl:source>
+      <dl:documentId>US07654321</dl:documentId>
+      <dl:paragraphText>Second paragraph.</dl:paragraphText>
+    </dl:source>
+    <dl:reactionSmiles>CC&gt;&gt;CO</dl:reactionSmiles>
+    <spectatorList>
+      <spectator role="reagent">
+        <identifier dictRef="cml:smiles" value="[Na+].[OH-]"/>
+      </spectator>
+    </spectatorList>
+  </reaction>
+</reactionList>
+"""
+
+
+def test_parse_cml(tmp_path):
+    path = tmp_path / "2005" / "rxn.xml"
+    path.parent.mkdir()
+    path.write_text(CML)
+    cond, corpus, info = parse_cml_reactions(str(path))
+    assert len(cond) == 2 and len(corpus) == 2
+    assert cond[0]["id"] == "US07654321_0"
+    assert cond[1]["id"] == "US07654321_1"
+    assert cond[0]["solvent"] == "ClCCl"
+    assert cond[0]["catalyst"] == "OS(=O)(=O)O"
+    assert cond[1]["reagent"] == "[Na+].[OH-]"
+    assert cond[0]["rxn_smiles"] == "CCO.CC(=O)O>>CC(=O)OCC"
+    assert corpus[0]["heading_text"] == "Example 1"
+    assert info["US07654321"]["year"] == 2005
+
+
+def test_merge_dedup_and_filter():
+    rows = []
+    for i in range(120):
+        rows.append({"canonical_rxn": f"r{i}", "remapped_rxn": f"m{i}",
+                     "catalyst": "Pd", "solvent": "CCO", "reagent": "O"})
+    rows.append(dict(rows[0]))  # exact duplicate
+    rows.append({"canonical_rxn": "special", "remapped_rxn": "ms",
+                 "catalyst": "RareCat", "solvent": "CCO", "reagent": "O"})
+    rows.append({"canonical_rxn": "excess", "remapped_rxn": "me",
+                 "catalyst": "Pd.Pt", "solvent": "CCO", "reagent": "O"})
+    db, freqs = merge_and_dedup([pd.DataFrame(rows)])
+    assert len(db) == 122  # duplicate dropped
+    assert freqs["catalyst"].iloc[0]["smiles"] == "Pd"
+    out = filter_and_split_conditions(db, freqs, remove_threshold=100)
+    # rare catalyst filtered; multi-catalyst row filtered
+    assert "RareCat" not in set(out["catalyst"])
+    assert "Pd.Pt" not in set(out["catalyst"])
+    slots = split_condition_slots(out)
+    assert (slots["catalyst1"] == "Pd").all()
+    assert (slots["solvent1"] == "CCO").all()
+    assert (slots["solvent2"] == "").all()
+
+
+def test_split_token_two_solvents():
+    db = pd.DataFrame({
+        "catalyst_split": [""],
+        "solvent_split": [f"CCO{SPLIT_TOKEN}ClCCl"],
+        "reagent_split": ["O"]})
+    slots = split_condition_slots(db)
+    assert slots["solvent1"][0] == "CCO"
+    assert slots["solvent2"][0] == "ClCCl"
+    assert slots["reagent1"][0] == "O"
+    assert slots["reagent2"][0] == ""
+
+
+def test_extract_non_smiles_and_merge_names():
+    vals = ["CCO", "tetrahydrofuran", "CCO", "tetrahydrofuran", "not smiles("]
+    names = extract_non_smiles(vals)
+    assert "tetrahydrofuran" in names
+    assert "CCO" not in names
+    df = pd.DataFrame({"catalyst1": ["tetrahydrofuran"], "solvent1": ["CCO"],
+                       "solvent2": [""], "reagent1": [""], "reagent2": [""]})
+    out = merge_name_to_smiles(df, {"tetrahydrofuran": "C1CCOC1"})
+    assert out["catalyst1"][0] == "C1CCOC1"
