@@ -9,10 +9,11 @@ The TPU-native replacement for the reference's faiss.IndexFlatL2 build+query
 - the corpus streams through VMEM in (TILE_C, d) blocks along the inner grid
   dimension while a running per-query top-k (values + global indices) lives
   in VMEM scratch — no HBM round-trips for intermediates;
-- top-k selection is k passes of vectorized argmin over
-  [running-topk ++ tile-scores]; the argmin's first-occurrence tie rule plus
-  ascending tile order reproduces faiss's tie behavior (lowest corpus index
-  wins equal distances);
+- top-k selection is a dynamic-count insertion loop: per iteration, extract
+  the per-row tile minimum and insert it (sorted, lexicographic by
+  (distance, index)) into the running top-k, looping only while some row can
+  still improve — so selection costs O(new top-k entries) sweeps per tile,
+  not O(k). Ties reproduce faiss behavior (lowest corpus index wins);
 - per-query banned ids (for masked retrieval, e.g. self/gold removal) are
   applied on-chip by pushing banned columns to +inf before selection.
 
@@ -39,7 +40,20 @@ def _cdiv(a: int, b: int) -> int:
 
 def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
                  run_vals, run_idx, *, k: int, tile_c: int, num_c_tiles: int,
-                 packed: bool):
+                 packed: bool = False):
+    """One (query-tile, corpus-tile) grid step: MXU matmul + top-k merge.
+
+    The merge is a dynamic-count insertion loop: each iteration extracts the
+    per-row tile minimum and, for rows where it beats the current k-th
+    distance, inserts it into the sorted running top-k (a shift on a (TQ, k)
+    array) and retires it from the tile. The loop runs only while some row
+    can still improve, so a tile pays one min-sweep plus one sweep per
+    element that actually enters the top-k (expected O(1) once the running
+    top-k warms up) instead of a fixed k sweeps. `packed` is accepted for
+    API compatibility; the insertion loop is already tie-exact and is used
+    for all dtypes.
+    """
+    del packed  # single unified algorithm
     ci = pl.program_id(1)
 
     @pl.when(ci == 0)
@@ -54,7 +68,6 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
         preferred_element_type=jnp.int32)          # (TQ, TC)
     scores = cnorm_ref[0, :][None, :] - 2 * dots    # |c|^2 - 2 q.c
 
-    tq = scores.shape[0]
     col_idx = ci * tile_c + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
 
     # mask corpus padding (norm sentinel) and banned ids
@@ -63,61 +76,46 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
     for b in range(nb):
         scores = jnp.where(col_idx == banned_ref[:, b][:, None], BIG, scores)
 
-    # Early skip: the k-pass selection below costs ~k VPU sweeps of the tile,
-    # an order of magnitude more than the MXU matmul. A tile can only change
-    # the running top-k if some row's tile minimum beats that row's current
-    # k-th distance — after the first few tiles almost none do, so the
-    # amortized selection cost drops to the single min sweep.
-    tile_min = jnp.min(scores, axis=1)                      # (TQ,)
-    kth = run_vals[:, k - 1]
-    need_merge = jnp.any(tile_min < kth)
+    tq = scores.shape[0]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)   # 0..k-1 per row
 
-    def extract_k(vals, idxs, count):
-        """`count` min-extraction passes built from min-reductions only
-        (integer argmin has no Mosaic lowering). Tie rule: among equal
-        values pick the smallest index — exactly faiss's behavior."""
-        out_v, out_i = [], []
-        for _ in range(count):
-            m = jnp.min(vals, axis=1)                          # (TQ,)
-            at_min = vals == m[:, None]
-            idx_j = jnp.min(jnp.where(at_min, idxs, BIG), axis=1)
-            out_v.append(m)
-            out_i.append(idx_j)
-            # retire exactly the selected column (same value AND same index)
-            vals = jnp.where(at_min & (idxs == idx_j[:, None]), BIG, vals)
-        return jnp.stack(out_v, axis=1), jnp.stack(out_i, axis=1)
+    def improved_rows(state):
+        rv, _, sc = state
+        return jnp.min(sc, axis=1) < rv[:, k - 1]
 
-    @pl.when(need_merge)
-    def _():
-        if packed:
-            # Binary-fingerprint fast path: scores fit in a few bits, so the
-            # tile-local (score, column) pair packs into one int32 key:
-            # min-extraction needs 2 sweeps/pass instead of 5, and the
-            # packed min already implements the lowest-index tie rule.
-            shift = tile_c.bit_length()
-            bias = 2 * (c.shape[1] + 1)
-            keys = ((scores + bias) << shift) | (col_idx - ci * tile_c)
-            keys = jnp.where(scores >= BIG, BIG, keys)
-            tile_v, tile_i = [], []
-            for _ in range(k):
-                m = jnp.min(keys, axis=1)                      # (TQ,)
-                tile_v.append((m >> shift) - bias)
-                tile_i.append((m & ((1 << shift) - 1)) + ci * tile_c)
-                keys = jnp.where(keys == m[:, None], BIG, keys)
-            tile_vals = jnp.stack(tile_v, axis=1)
-            tile_idx = jnp.stack(tile_i, axis=1)
-            # sentinel rows decode garbage idx; restore BIG markers
-            tile_idx = jnp.where(tile_vals >= BIG >> shift, BIG, tile_idx)
-            tile_vals = jnp.where(tile_vals >= BIG >> shift, BIG, tile_vals)
-            merged_v = jnp.concatenate([run_vals[:], tile_vals], axis=1)
-            merged_i = jnp.concatenate([run_idx[:], tile_idx], axis=1)
-            rv, ri = extract_k(merged_v, merged_i, k)
-        else:
-            combined_vals = jnp.concatenate([run_vals[:], scores], axis=1)
-            combined_idx = jnp.concatenate([run_idx[:], col_idx], axis=1)
-            rv, ri = extract_k(combined_vals, combined_idx, k)
-        run_vals[:] = rv
-        run_idx[:] = ri
+    def cond(state):
+        return jnp.any(improved_rows(state))
+
+    def body(state):
+        rv, ri, sc = state
+        m = jnp.min(sc, axis=1)                               # (TQ,)
+        improved = m < rv[:, k - 1]
+        at_min = sc == m[:, None]
+        # faiss tie rule: among equal scores take the lowest corpus index
+        cidx = jnp.min(jnp.where(at_min, col_idx, BIG), axis=1)
+        # retire the selected element from improved rows
+        sel = at_min & (col_idx == cidx[:, None]) & improved[:, None]
+        sc = jnp.where(sel, BIG, sc)
+        # sorted insertion into the running top-k (lexicographic by
+        # (value, index) — running entries always have lower indices than
+        # the current tile, so equal values keep the earlier entry first)
+        pos = jnp.sum((rv < m[:, None]) |
+                      ((rv == m[:, None]) & (ri < cidx[:, None])),
+                      axis=1)                                 # (TQ,)
+        prev_v = pltpu.roll(rv, 1, 1)
+        prev_i = pltpu.roll(ri, 1, 1)
+        new_v = jnp.where(slot < pos[:, None], rv,
+                          jnp.where(slot == pos[:, None], m[:, None], prev_v))
+        new_i = jnp.where(slot < pos[:, None], ri,
+                          jnp.where(slot == pos[:, None], cidx[:, None], prev_i))
+        rv = jnp.where(improved[:, None], new_v, rv)
+        ri = jnp.where(improved[:, None], new_i, ri)
+        return rv, ri, sc
+
+    rv, ri, _ = jax.lax.while_loop(cond, body,
+                                   (run_vals[:], run_idx[:], scores))
+    run_vals[:] = rv
+    run_idx[:] = ri
 
     @pl.when(ci == num_c_tiles - 1)
     def _():
