@@ -92,6 +92,7 @@ class ExperimentConfig:
     length_buckets: Tuple[int, ...] = (64, 128, 256, 384, 512)
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
     log_every: int = 10
+    attention_impl: str = "xla"   # 'xla' | 'flash' (pallas flash-attention)
     profile: bool = False
     remat: bool = False                 # jax.checkpoint the encoder/decoder blocks
 

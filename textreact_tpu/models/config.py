@@ -33,6 +33,11 @@ class TransformerConfig:
     eos_token_id: int = 13
     is_decoder: bool = False
     add_cross_attention: bool = False
+    # 'xla' (reference semantics incl. attention-prob dropout) or 'flash'
+    # (Pallas flash-attention kernel; O(L) memory, no attention-prob dropout
+    # — hidden-state dropout still applies). 2-D bond masks and cached
+    # decoding always take the xla path.
+    attention_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

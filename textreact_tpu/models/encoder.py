@@ -35,12 +35,16 @@ class Encoder(nn.Module):
             input_ids, position_ids=position_ids, token_type_ids=token_type_ids,
             deterministic=deterministic)
         bias = None
+        self_mask = None
         if attention_mask is not None:
-            bias = mask_to_bias(attention_mask)
+            if cfg.attention_impl == "flash" and attention_mask.ndim == 2:
+                self_mask = attention_mask  # flash path takes the raw mask
+            else:
+                bias = mask_to_bias(attention_mask)
         block_cls = TransformerBlock
         if self.remat:
             block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
         for i in range(cfg.num_hidden_layers):
             x = block_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
-                x, bias, None, None, deterministic)
+                x, bias, None, None, deterministic, self_mask)
         return x

@@ -28,6 +28,7 @@ def build_model(cfg: ExperimentConfig, enc_tokenizer, dec_tokenizer):
         max_position_embeddings=max(enc_config.max_position_embeddings,
                                     cfg.max_length),
         vocab_size=max(enc_config.vocab_size, len(enc_tokenizer)),
+        attention_impl=cfg.attention_impl,
     )
     mlm_layer = cfg.mlm_layer if cfg.mlm else None
     if cfg.template_based:
@@ -44,6 +45,7 @@ def build_model(cfg: ExperimentConfig, enc_tokenizer, dec_tokenizer):
         max_position_embeddings=max(dec_config.max_position_embeddings,
                                     cfg.max_dec_length),
         is_decoder=True, add_cross_attention=True,
+        attention_impl=cfg.attention_impl,
         pad_token_id=dec_tokenizer.pad_token_id,
         bos_token_id=dec_tokenizer.bos_token_id,
         eos_token_id=dec_tokenizer.eos_token_id,

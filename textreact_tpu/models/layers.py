@@ -91,15 +91,41 @@ class Embeddings(nn.Module):
         return x.astype(self.dtype)
 
 
+def _flash_attention(q: Array, k: Array, v: Array,
+                     mask_kv: Optional[Array],
+                     causal: bool, sm_scale: float) -> Array:
+    """Official Pallas TPU flash-attention kernel over (B, L, H, D) inputs.
+
+    The 1-D key padding mask becomes segment ids: queries all carry segment
+    0, padded keys segment 1, so real queries never attend to padding —
+    exactly the additive-bias path's key-masking semantics (mask_to_bias
+    masks keys only)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    qt = q.transpose(0, 2, 1, 3)   # (B, H, L, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    segment_ids = None
+    if mask_kv is not None:
+        seg_q = jnp.zeros(q.shape[:2], jnp.int32)
+        seg_kv = 1 - mask_kv.astype(jnp.int32)
+        segment_ids = SegmentIds(q=seg_q, kv=seg_kv)
+    out = flash_attention(qt, kt, vt, segment_ids=segment_ids, causal=causal,
+                          sm_scale=sm_scale)
+    return out.transpose(0, 2, 1, 3)
+
+
 class MultiHeadAttention(nn.Module):
     """Self- or cross-attention; float32 logits/softmax; optional decode cache."""
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
     decode: bool = False
+    causal_hint: bool = False   # true in decoder self-attention (flash path)
 
     @nn.compact
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  bias: Optional[Array] = None,
+                 mask_kv: Optional[Array] = None,
                  deterministic: bool = True) -> Array:
         cfg = self.config
         H, D = cfg.num_attention_heads, cfg.head_dim
@@ -113,6 +139,26 @@ class MultiHeadAttention(nn.Module):
         q = proj("query", x)
         k = proj("key", kv_in)
         v = proj("value", kv_in)
+
+        # flash kernel wants 128-aligned sequence lengths; shorter/unaligned
+        # shapes (e.g. the 16-160 token decoder) fall back to the XLA path
+        use_flash = (cfg.attention_impl == "flash" and not self.decode
+                     and bias is None
+                     and x.shape[1] % 128 == 0 and kv_in.shape[1] % 128 == 0)
+        if use_flash:
+            ctx = _flash_attention(q, k, v, mask_kv,
+                                   causal=self.causal_hint,
+                                   sm_scale=1.0 / float(D) ** 0.5)
+            ctx = ctx.astype(self.dtype)
+            ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], H * D)
+            return nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,
+                            name="output")(ctx)
+        if mask_kv is not None:
+            # additive-bias path from the 1-D key mask (flash declined)
+            extra = mask_to_bias(mask_kv)
+            bias = extra if bias is None else bias + extra
+            if self.causal_hint:
+                bias = bias + causal_bias(x.shape[1], kv_in.shape[1])
 
         if self.decode and kv is None:
             # fixed-size KV cache for incremental decoding
@@ -177,24 +223,30 @@ class TransformerBlock(nn.Module):
     dtype: Any = jnp.bfloat16
     decode: bool = False
 
+    causal: bool = False
+
     @nn.compact
     def __call__(self, x: Array, self_bias: Optional[Array] = None,
                  encoder_states: Optional[Array] = None,
                  cross_bias: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 self_mask: Optional[Array] = None,
+                 cross_mask: Optional[Array] = None) -> Array:
         cfg = self.config
 
         def dropout(y):
             return nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
 
         attn = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
+                                  causal_hint=self.causal,
                                   name="attention")(
-            x, bias=self_bias, deterministic=deterministic)
+            x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_norm")(x + dropout(attn)).astype(self.dtype)
         if cfg.add_cross_attention and encoder_states is not None:
             cross = MultiHeadAttention(cfg, dtype=self.dtype, name="crossattention")(
-                x, kv=encoder_states, bias=cross_bias, deterministic=deterministic)
+                x, kv=encoder_states, bias=cross_bias, mask_kv=cross_mask,
+                deterministic=deterministic)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="crossattention_norm")(x + dropout(cross)).astype(self.dtype)
         ffn = FeedForward(cfg, dtype=self.dtype, name="ffn")(x)

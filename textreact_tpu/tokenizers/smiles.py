@@ -75,10 +75,15 @@ class SmilesTokenizer(BaseTokenizer):
     def tokenize(self, smiles: str) -> List[str]:
         return tokenize_smiles(smiles)
 
-    def __call__(self, smiles: str) -> Encoding:
+    def __call__(self, smiles: str, text_pair: Optional[str] = None) -> Encoding:
+        """[CLS] A [SEP] (+ B [SEP] for a pair, BERT-style — the reference's
+        'smiles' encoder mode tokenizes any neighbor text with the same
+        regex vocab, tokenizer.py:171-185)."""
         ids = ([self.cls_token_id]
                + self.convert_tokens_to_ids(self.tokenize(smiles))
                + [self.sep_token_id])
+        if text_pair:
+            ids += self.convert_tokens_to_ids(self.tokenize(text_pair)) + [self.sep_token_id]
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
 
     def decode(self, ids: List[int], skip_special_tokens: bool = True) -> str:
