@@ -49,3 +49,18 @@ def param_shardings(mesh: Mesh, params: Any) -> Any:
 
 def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
+
+
+def ensure_mesh_placement(mesh: Mesh, tree: Any) -> Any:
+    """Replicate every leaf that doesn't already carry a NamedSharding on
+    `mesh` (freshly-created optimizer scalars, checkpoint-restored arrays) so
+    jitted steps never see mixed device commitments."""
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if hasattr(x, "sharding") and isinstance(x.sharding, NamedSharding) \
+                and x.sharding.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)

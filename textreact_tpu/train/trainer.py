@@ -171,10 +171,12 @@ class Trainer:
         start_epoch, best_score = 0, None
         if cfg.overwrite:
             self.ckpt.clear()
+        from ..parallel.sharding import ensure_mesh_placement
         params = self._init_params()
-        state = TrainState.create(params, self._tx)
+        state = ensure_mesh_placement(self.mesh, TrainState.create(params, self._tx))
         if self.ckpt.exists(cfg.load_ckpt):
             state, meta = self.ckpt.restore(cfg.load_ckpt, state)
+            state = ensure_mesh_placement(self.mesh, state)
             start_epoch = int(meta.get("epoch", -1)) + 1
             best_score = meta.get(cfg.val_metric)
             log.info("resumed from %s at epoch %d", cfg.load_ckpt, start_epoch)
@@ -322,11 +324,14 @@ class Trainer:
         cfg = self.cfg
         if self._state is not None:
             return self._state
+        from ..parallel.sharding import ensure_mesh_placement
         tx = self._tx or make_optimizer(cfg, max(1, self._safe_num_steps()))
-        state = TrainState.create(self._init_params(), tx)
+        state = ensure_mesh_placement(
+            self.mesh, TrainState.create(self._init_params(), tx))
         name = cfg.load_ckpt if self.ckpt.exists(cfg.load_ckpt) else "best"
         if self.ckpt.exists(name):
             state, _ = self.ckpt.restore(name, state)
+            state = ensure_mesh_placement(self.mesh, state)
             log.info("loaded checkpoint: %s", name)
         else:
             log.warning("no checkpoint found in %s; evaluating random init",
