@@ -1,0 +1,88 @@
+"""Parallelism correctness on the fake 8-device CPU mesh: TP-sharded and
+DP-sharded training steps must reproduce single-device numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textreact_tpu.config import ExperimentConfig
+from textreact_tpu.models import BERT_L6_DECODER, SCIBERT_BASE, EncoderDecoder
+from textreact_tpu.parallel.mesh import batch_sharding, make_mesh
+from textreact_tpu.parallel.sharding import (ensure_mesh_placement,
+                                             param_spec, shard_params)
+from textreact_tpu.train.optim import make_optimizer
+from textreact_tpu.train.step import TrainState, make_train_step
+
+ENC = SCIBERT_BASE.replace(vocab_size=128, hidden_size=64,
+                           num_hidden_layers=2, num_attention_heads=4,
+                           intermediate_size=128, max_position_embeddings=64,
+                           type_vocab_size=1)
+DEC = BERT_L6_DECODER.replace(vocab_size=64, hidden_size=64,
+                              num_hidden_layers=2, num_attention_heads=4,
+                              intermediate_size=128,
+                              max_position_embeddings=32)
+
+
+def _setup(dp, tp, B=8):
+    module = EncoderDecoder(encoder_config=ENC, decoder_config=DEC,
+                            dtype=jnp.float32)
+    cfg = ExperimentConfig(task="condition", compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (B, 32)), jnp.int32),
+        "attention_mask": jnp.ones((B, 32), jnp.int32),
+        "decoder_input_ids": jnp.asarray(rng.integers(1, 64, (B, 8)), jnp.int32),
+        "decoder_attention_mask": jnp.ones((B, 8), jnp.int32),
+        "example_mask": jnp.ones((B,), jnp.int32),
+        "indices": jnp.arange(B, dtype=jnp.int32),
+    }
+    params = module.init(jax.random.PRNGKey(0),
+                         input_ids=batch["input_ids"],
+                         attention_mask=batch["attention_mask"],
+                         decoder_input_ids=batch["decoder_input_ids"],
+                         decoder_attention_mask=batch["decoder_attention_mask"])
+    mesh = make_mesh(dp, tp)
+    with mesh:
+        sharded = shard_params(mesh, params)
+        tx = make_optimizer(cfg, 100)
+        state = ensure_mesh_placement(mesh, TrainState.create(sharded, tx))
+        step = make_train_step(module, cfg, tx, dec_pad_id=0)
+        dbatch = {k: jax.device_put(v, batch_sharding(mesh))
+                  for k, v in batch.items()}
+        new_state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+        loss = float(metrics["train_loss"])
+        grad_norm = float(metrics["grad_norm"])
+    return loss, grad_norm, new_state
+
+
+def test_dp_and_tp_match_single_device():
+    loss_1, gn_1, state_1 = _setup(dp=1, tp=1)
+    loss_dp, gn_dp, _ = _setup(dp=4, tp=1)
+    loss_tp, gn_tp, _ = _setup(dp=1, tp=2)
+    loss_dptp, gn_dptp, _ = _setup(dp=2, tp=2)
+    for loss, gn in [(loss_dp, gn_dp), (loss_tp, gn_tp), (loss_dptp, gn_dptp)]:
+        np.testing.assert_allclose(loss, loss_1, rtol=1e-4)
+        np.testing.assert_allclose(gn, gn_1, rtol=1e-3)
+
+
+def test_param_spec_rules():
+    from jax.tree_util import DictKey
+    import numpy as np
+
+    def path(*names):
+        return tuple(DictKey(n) for n in names)
+
+    v2 = np.zeros((4, 4))
+    v1 = np.zeros((4,))
+    assert str(param_spec(path("encoder", "layer_0", "attention", "query", "kernel"), v2)) \
+        == "PartitionSpec(None, 'tp')"
+    assert str(param_spec(path("encoder", "layer_0", "attention", "output", "kernel"), v2)) \
+        == "PartitionSpec('tp', None)"
+    assert str(param_spec(path("encoder", "layer_0", "ffn", "intermediate", "kernel"), v2)) \
+        == "PartitionSpec(None, 'tp')"
+    assert str(param_spec(path("encoder", "layer_0", "ffn", "output", "kernel"), v2)) \
+        == "PartitionSpec('tp', None)"
+    # embeddings + norms replicated
+    assert param_spec(path("embeddings", "word_embeddings", "embedding"), v2) \
+        == param_spec(path("layer_0", "attention_norm", "scale"), v1)
