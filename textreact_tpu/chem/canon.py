@@ -86,13 +86,32 @@ def _ranks_from_keys(atoms: Sequence[int], keys: Dict[int, Tuple]) -> Dict[int, 
 # SMILES writer
 # --------------------------------------------------------------------------
 
+def _reader_inferred_h(mol: Mol, idx: int) -> int:
+    """Implicit-H count a SMILES reader would assign to this atom written as
+    a bare organic-subset symbol (mirror of Mol.assign_implicit_h)."""
+    from .mol import DEFAULT_VALENCES
+    at = mol.atoms[idx]
+    order_sum = 0
+    for b in mol.adj[idx]:
+        bond = mol.bonds[b]
+        order_sum += 1 if bond.aromatic else bond.order
+    if at.aromatic and at.symbol in ("B", "C", "N", "P"):
+        order_sum += 1
+    for val in DEFAULT_VALENCES.get(at.symbol, ()):
+        if order_sum <= val:
+            return val - order_sum
+    return 0
+
+
 def _atom_token(mol: Mol, idx: int, chirality_out: int) -> str:
     at = mol.atoms[idx]
     sym = at.symbol.lower() if at.aromatic else at.symbol
     needs_bracket = (
         at.symbol not in ("B", "C", "N", "O", "P", "S", "F", "Cl", "Br", "I", "*")
         or at.charge != 0 or at.isotope != 0 or chirality_out != CHI_NONE
-        or (at.explicit_h >= 0 and at.explicit_h != at.implicit_h)
+        # bracket whenever the H count a reader would infer from the bare
+        # symbol differs from the actual count (e.g. pyrrole [nH])
+        or at.total_h != _reader_inferred_h(mol, idx)
         or at.atom_map != 0
     )
     # organic-subset atom whose implicit-H recomputation matches: plain token
