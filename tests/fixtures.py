@@ -102,9 +102,14 @@ def make_retro_data(root, n_train=16, n_val=6, n_test=6, seed=0):
     make_split("valid", n_val, 1000)
     make_split("test", n_test, 2000)
 
+    # vary paragraph wording with in-vocab tokens so different neighbors
+    # produce different token ids even under the tiny test vocab
+    variants = ["prepared from compound", "prepared by heating with acid",
+                "prepared with solvent at room temperature",
+                "prepared by heating ( 0 1 2 )"]
     corpus_rows = [{"id": rid, "heading_text": "",
-                    "paragraph_text": f"compound {rid} was prepared by heating."}
-                   for rid in all_ids]
+                    "paragraph_text": f"compound {i % 4} was {variants[i % len(variants)]}."}
+                   for i, rid in enumerate(all_ids)]
     pd.DataFrame(corpus_rows).to_csv(os.path.join(root, "corpus.csv"), index=False)
 
     train_ids = train_df["id"].tolist()
