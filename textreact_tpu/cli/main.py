@@ -7,7 +7,6 @@ Usage:  python -m textreact_tpu.cli.main --task condition --do_train ...
 from __future__ import annotations
 
 import argparse
-import sys
 from typing import List, Optional
 
 from ..config import ExperimentConfig

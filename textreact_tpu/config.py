@@ -9,7 +9,7 @@ reference training scripts translate 1:1.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass

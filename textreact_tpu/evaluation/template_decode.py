@@ -11,7 +11,7 @@ does). Without RDKit the framework raises a clear error for this eval mode
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 import pandas as pd
 

@@ -7,7 +7,6 @@ length_penalty=0, then per-example {prediction, score} dicts.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, List, Tuple
 
 import jax

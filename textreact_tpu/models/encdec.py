@@ -22,7 +22,7 @@ from flax import linen as nn
 from .config import TransformerConfig
 from .decoder import Decoder
 from .encoder import Encoder
-from .layers import MLMHead, dense_init
+from .layers import MLMHead
 
 Array = jax.Array
 

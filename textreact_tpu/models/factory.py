@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..config import ExperimentConfig
-from .config import TransformerConfig, resolve_config
+from .config import resolve_config
 from .encdec import EncoderDecoder, TemplateBasedModel
 
 

@@ -8,7 +8,6 @@ order + atom order), keeping the condition labels.
 from __future__ import annotations
 
 import random
-from typing import Optional
 
 import pandas as pd
 

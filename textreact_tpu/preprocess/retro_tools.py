@@ -9,7 +9,7 @@ retro_year_split.py (resplit by patent year: <2012 train, 2012-13 valid,
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd

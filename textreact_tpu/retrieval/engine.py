@@ -16,7 +16,6 @@ fingerprint vectors and query top-20 neighbors. TPU-native design
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

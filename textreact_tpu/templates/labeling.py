@@ -9,7 +9,6 @@ template positions, and record per-atom H/charge/chirality deltas.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Dict, List, Sequence, Set, Tuple
 
 from ..chem.rdkit_bridge import HAS_RDKIT

@@ -14,7 +14,7 @@ used, which is the semantics the rest of the reference relies on.)
 
 from __future__ import annotations
 
-from typing import List, Optional, Union
+from typing import List, Union
 
 from .base import BaseTokenizer, Encoding
 

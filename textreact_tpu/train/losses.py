@@ -15,7 +15,7 @@ contribute nothing to sums; per-example outputs are masked by the caller.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

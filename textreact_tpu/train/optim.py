@@ -8,9 +8,6 @@ schedules, stepped per optimizer step, plus global-norm gradient clipping
 
 from __future__ import annotations
 
-import math
-from typing import Optional
-
 import optax
 
 from ..config import ExperimentConfig

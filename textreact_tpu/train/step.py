@@ -10,7 +10,6 @@ gradient all-reduce that DDP/NCCL performed in the reference
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -19,7 +18,6 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..data.collate import IGNORE_INDEX
 from . import losses
 
 Array = jax.Array

@@ -33,7 +33,6 @@ from ..utils.profiling import StepTimer
 from .checkpoint import CheckpointManager
 from .optim import make_optimizer
 from .step import TrainState, make_eval_step, make_train_step
-from . import losses
 
 
 class Trainer:
