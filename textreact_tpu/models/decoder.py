@@ -60,7 +60,7 @@ class Decoder(nn.Module):
             deterministic=deterministic)
         block_cls = TransformerBlock
         if self.remat and not self.decode:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
+            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(cfg.num_hidden_layers):
             x = block_cls(cfg, dtype=self.dtype, decode=self.decode,
                           name=f"layer_{i}")(

@@ -43,7 +43,7 @@ class Encoder(nn.Module):
                 bias = mask_to_bias(attention_mask)
         block_cls = TransformerBlock
         if self.remat:
-            block_cls = nn.remat(TransformerBlock, static_argnums=(4,))
+            block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(cfg.num_hidden_layers):
             x = block_cls(cfg, dtype=self.dtype, name=f"layer_{i}")(
                 x, bias, None, None, deterministic, self_mask)
