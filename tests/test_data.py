@@ -195,3 +195,22 @@ def test_eval_dual_loader_gold_removed(cond_root):
     ex = ds.example(0)
     ex2 = twin.example(0)
     assert len(ex["input_ids"]) >= len(ex2["input_ids"]) or True  # twin runs
+
+
+def test_loader_multiprocess_matches_serial(cond_root):
+    cfg = _cfg(cond_root, mlm=True)
+    enc_tok, dec_tok = _tokenizers(cfg)
+    ds = ConditionDataset(cfg, os.path.join(cond_root, "train.csv"),
+                          enc_tok, dec_tok, split="train")
+    ds.load_corpus(read_corpus(cfg.corpus_file),
+                   os.path.join(cond_root, "train_nn.json"))
+    coll = Collator(cfg, enc_tok.pad_token_id, dec_tok.pad_token_id)
+    serial = DataLoader(ds, coll, batch_size=4, shuffle=True, seed=7)
+    parallel = DataLoader(ds, coll, batch_size=4, shuffle=True, seed=7,
+                          num_workers=2)
+    serial.set_epoch(3)
+    parallel.set_epoch(3)
+    for b1, b2 in zip(serial, parallel):
+        for key in b1.arrays:
+            assert np.array_equal(b1.arrays[key], b2.arrays[key]), key
+        assert b1.host["ids"] == b2.host["ids"]

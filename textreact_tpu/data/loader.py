@@ -28,7 +28,7 @@ class DataLoader:
     def __init__(self, dataset, collator: Collator, batch_size: int,
                  shuffle: bool = False, seed: int = 0, drop_last: bool = False,
                  fixed_shapes: bool = True, prefetch: int = 4,
-                 augment: Optional[bool] = None):
+                 augment: Optional[bool] = None, num_workers: int = 0):
         self.dataset = dataset
         self.collator = collator
         self.batch_size = batch_size
@@ -38,6 +38,9 @@ class DataLoader:
         self.fixed_shapes = fixed_shapes
         self.prefetch = prefetch
         self.augment = augment
+        # >0: build+collate batches in forked worker processes (role of the
+        # reference's torch DataLoader num_workers=8, main.py:325-328)
+        self.num_workers = num_workers
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -70,6 +73,9 @@ class DataLoader:
                   for i in range(0, len(order), self.batch_size)]
         if self.drop_last:
             chunks = [c for c in chunks if len(c) == self.batch_size]
+        if self.num_workers > 1 and len(chunks) > 1:
+            yield from self._iter_multiprocess(chunks)
+            return
         if self.prefetch <= 0:
             for c in chunks:
                 yield self._build(c)
@@ -97,3 +103,31 @@ class DataLoader:
         t.join()
         if err:
             raise err[0]
+
+    def _iter_multiprocess(self, chunks) -> Iterator[Batch]:
+        """Fork-based parallel batch assembly. Workers inherit the dataset
+        via fork (no per-task pickling of the DataFrame); each task builds
+        and collates one batch; results stream back in order."""
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(self.num_workers, initializer=_worker_init,
+                      initargs=(self,)) as pool:
+            for batch in pool.imap(_worker_build,
+                                   [(self.epoch, c) for c in chunks],
+                                   chunksize=1):
+                yield batch
+
+
+_WORKER_LOADER: Optional["DataLoader"] = None
+
+
+def _worker_init(loader: "DataLoader") -> None:
+    global _WORKER_LOADER
+    _WORKER_LOADER = loader
+
+
+def _worker_build(task) -> Batch:
+    epoch, chunk = task
+    loader = _WORKER_LOADER
+    loader.epoch = epoch
+    return loader._build(chunk)

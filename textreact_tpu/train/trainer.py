@@ -109,6 +109,9 @@ class Trainer:
     def _loaders(self, dataset, eval_mode: bool) -> List[DataLoader]:
         cfg = self.cfg
         bs = cfg.test_batch_size if dataset is self.test_dataset else cfg.batch_size
+        # background-thread prefetch overlaps host batch assembly with device
+        # steps; the loader's fork-pool mode (num_workers>1) is for offline
+        # use — forking after the TPU runtime initializes is unsafe
         kw = dict(collator=self.collator, batch_size=bs, seed=cfg.seed)
         if not eval_mode:
             return [DataLoader(dataset, shuffle=True, **kw)]
