@@ -26,7 +26,8 @@ class Generator:
         self.max_length = max_length
         self.dec_config = module.decoder_config
         self.step_model = DecoderStep(decoder_config=self.dec_config,
-                                      dtype=module.dtype)
+                                      dtype=module.dtype,
+                                      cache_len=max_length)
         self._fn = None
 
     def _build(self, B: int, L: int, mask_ndim: int):

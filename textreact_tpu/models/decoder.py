@@ -24,6 +24,7 @@ class Decoder(nn.Module):
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
     decode: bool = False          # enable KV cache for incremental decoding
+    cache_len: int = 0            # decode cache length (0: max_position_embeddings)
     remat: bool = False
 
     @nn.compact
@@ -63,6 +64,7 @@ class Decoder(nn.Module):
             block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
         for i in range(cfg.num_hidden_layers):
             x = block_cls(cfg, dtype=self.dtype, decode=self.decode,
+                          cache_len=self.cache_len,
                           name=f"layer_{i}")(
                 x, self_bias, encoder_states, cross_bias, deterministic)
         logits = MLMHead(cfg, dtype=self.dtype, mlp=True, name="lm_head")(

@@ -81,14 +81,20 @@ class EncoderDecoder(nn.Module):
 
 
 class DecoderStep(nn.Module):
-    """Single-token decoder step with KV cache, for jit beam search."""
+    """Single-token decoder step with KV cache, for jit beam search.
+
+    cache_len sizes the KV cache to the actual generation length instead of
+    max_position_embeddings, so each step attends over max_dec_length keys
+    rather than 512."""
     decoder_config: TransformerConfig
     dtype: Any = jnp.bfloat16
+    cache_len: int = 0
 
     @nn.compact
     def __call__(self, token_ids: Array, encoder_states: Array,
                  encoder_attention_mask: Optional[Array], position_offset):
         logits = Decoder(self.decoder_config, dtype=self.dtype, decode=True,
+                         cache_len=self.cache_len,
                          name="decoder")(
             token_ids, encoder_states,
             encoder_attention_mask=encoder_attention_mask,

@@ -121,6 +121,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.bfloat16
     decode: bool = False
     causal_hint: bool = False   # true in decoder self-attention (flash path)
+    cache_len: int = 0          # decode KV-cache length (0: max_position_embeddings)
 
     @nn.compact
     def __call__(self, x: Array, kv: Optional[Array] = None,
@@ -163,11 +164,12 @@ class MultiHeadAttention(nn.Module):
         if self.decode and kv is None:
             # fixed-size KV cache for incremental decoding
             is_initialized = self.has_variable("cache", "cached_key")
+            cache_len = self.cache_len or cfg.max_position_embeddings
             cached_k = self.variable("cache", "cached_key", jnp.zeros,
-                                     (x.shape[0], cfg.max_position_embeddings, H, D),
+                                     (x.shape[0], cache_len, H, D),
                                      self.dtype)
             cached_v = self.variable("cache", "cached_value", jnp.zeros,
-                                     (x.shape[0], cfg.max_position_embeddings, H, D),
+                                     (x.shape[0], cache_len, H, D),
                                      self.dtype)
             cache_index = self.variable("cache", "cache_index",
                                         lambda: jnp.array(0, dtype=jnp.int32))
@@ -222,8 +224,8 @@ class TransformerBlock(nn.Module):
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
     decode: bool = False
-
     causal: bool = False
+    cache_len: int = 0
 
     @nn.compact
     def __call__(self, x: Array, self_bias: Optional[Array] = None,
@@ -239,6 +241,7 @@ class TransformerBlock(nn.Module):
 
         attn = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
                                   causal_hint=self.causal,
+                                  cache_len=self.cache_len,
                                   name="attention")(
             x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
