@@ -138,8 +138,20 @@ class MultiHeadAttention(nn.Module):
             return y.reshape(src.shape[0], src.shape[1], H, D)
 
         q = proj("query", x)
-        k = proj("key", kv_in)
-        v = proj("value", kv_in)
+        if self.decode and kv is not None:
+            # cross-attention K/V depend only on the (fixed) encoder states:
+            # project once when the cache is created (predictor init runs
+            # with the real encoder output) and reuse every decode step —
+            # the per-step cost drops from two full-length projections to a
+            # cache read (HF generate caches encoder K/V the same way).
+            cached_ck = self.variable("cache", "cached_cross_key",
+                                      lambda: proj("key", kv_in))
+            cached_cv = self.variable("cache", "cached_cross_value",
+                                      lambda: proj("value", kv_in))
+            k, v = cached_ck.value, cached_cv.value
+        else:
+            k = proj("key", kv_in)
+            v = proj("value", kv_in)
 
         # flash kernel wants 128-aligned sequence lengths; shorter/unaligned
         # shapes (e.g. the 16-160 token decoder) fall back to the XLA path
