@@ -28,13 +28,20 @@ NEG_INF = -1.0e7
 
 
 def _gather_beams(tree: Any, beam_indices: Array, B: int, K: int) -> Any:
-    """Select beams: leaves have leading dim B*K; beam_indices (B, K)."""
+    """Select beams: leaves have leading dim B*K; beam_indices (B, K).
+
+    Cross-attention K/V caches are skipped: every beam of an example holds
+    the same encoder projections, so reordering beams within an example is
+    an identity on them — skipping saves a multi-GB gather per step."""
     flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
 
-    def gather(x):
+    def gather(path, x):
+        names = {getattr(p, "key", None) for p in path}
+        if "cached_cross_key" in names or "cached_cross_value" in names:
+            return x
         return x[flat_idx] if x.ndim >= 1 and x.shape[0] == B * K else x
 
-    return jax.tree.map(gather, tree)
+    return jax.tree_util.tree_map_with_path(gather, tree)
 
 
 def beam_search(
