@@ -39,22 +39,21 @@ class Generator:
         def generate(params, input_ids, attention_mask):
             enc = module.apply(params, method="encode", input_ids=input_ids,
                                attention_mask=attention_mask)
-            # expand to beams: (B, ...) -> (B*K, ...)
-            enc_k = jnp.repeat(enc, K, axis=0)
             if attention_mask.ndim == 3:
                 enc_mask = (attention_mask.sum(axis=-1) > 0).astype(jnp.int32)
             else:
                 enc_mask = attention_mask
-            enc_mask_k = jnp.repeat(enc_mask, K, axis=0)
+            # encoder states/mask stay one-row-per-example; beams attend as
+            # grouped query positions (models/layers.py cross-decode path)
             step_params = {"params": {"decoder": params["params"]["decoder"]}}
 
             dummy = jnp.zeros((B * K, 1), dtype=jnp.int32)
-            cache = step_model.init(jax.random.PRNGKey(0), dummy, enc_k,
-                                    enc_mask_k, 0)["cache"]
+            cache = step_model.init(jax.random.PRNGKey(0), dummy, enc,
+                                    enc_mask, 0)["cache"]
 
             def step_fn(cache, tokens, pos):
                 logits, vars_out = step_model.apply(
-                    {**step_params, "cache": cache}, tokens, enc_k, enc_mask_k,
+                    {**step_params, "cache": cache}, tokens, enc, enc_mask,
                     pos, mutable=["cache"])
                 return logits, vars_out["cache"]
 

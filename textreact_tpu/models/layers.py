@@ -139,16 +139,34 @@ class MultiHeadAttention(nn.Module):
 
         q = proj("query", x)
         if self.decode and kv is not None:
-            # cross-attention K/V depend only on the (fixed) encoder states:
-            # project once when the cache is created (predictor init runs
-            # with the real encoder output) and reuse every decode step —
-            # the per-step cost drops from two full-length projections to a
-            # cache read (HF generate caches encoder K/V the same way).
+            # Cross-attention during incremental decoding. The encoder
+            # states are fixed, so K/V are projected once at cache creation
+            # (predictor init runs with the real encoder output) and stored
+            # UNREPLICATED — one row per example, not per beam. Beams attend
+            # as extra query positions over their example's row, which cuts
+            # the per-step KV reads by the beam count (the dominant
+            # generation cost at L=512).
             cached_ck = self.variable("cache", "cached_cross_key",
                                       lambda: proj("key", kv_in))
             cached_cv = self.variable("cache", "cached_cross_value",
                                       lambda: proj("value", kv_in))
             k, v = cached_ck.value, cached_cv.value
+            Bq, Bk = q.shape[0], k.shape[0]
+            if Bq != Bk:
+                assert x.shape[1] == 1 and Bq % Bk == 0, (q.shape, k.shape)
+                G = Bq // Bk
+                q2 = q.reshape(Bk, G, H, D)
+                scores = jnp.einsum("bghd,blhd->bhgl", q2, k,
+                                    preferred_element_type=jnp.float32)
+                scores = scores / jnp.sqrt(D).astype(jnp.float32)
+                if bias is not None:
+                    scores = scores + bias.astype(jnp.float32)  # (Bk,1,1,L)
+                probs = jax.nn.softmax(scores, axis=-1)
+                ctx = jnp.einsum("bhgl,blhd->bghd", probs.astype(self.dtype),
+                                 v, preferred_element_type=jnp.float32)
+                ctx = ctx.astype(self.dtype).reshape(Bq, 1, H * D)
+                return nn.Dense(cfg.hidden_size, kernel_init=init,
+                                dtype=self.dtype, name="output")(ctx)
         else:
             k = proj("key", kv_in)
             v = proj("value", kv_in)
@@ -259,7 +277,8 @@ class TransformerBlock(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_norm")(x + dropout(attn)).astype(self.dtype)
         if cfg.add_cross_attention and encoder_states is not None:
-            cross = MultiHeadAttention(cfg, dtype=self.dtype, name="crossattention")(
+            cross = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
+                                       name="crossattention")(
                 x, kv=encoder_states, bias=cross_bias, mask_kv=cross_mask,
                 deterministic=deterministic)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
