@@ -90,3 +90,39 @@ def test_count_vectors_negative_values():
     ref_vals, ref_idx = numpy_reference_topk(queries, corpus, 7)
     np.testing.assert_array_equal(vals, ref_vals)
     np.testing.assert_array_equal(idx, ref_idx)
+
+
+def test_corpus_resident_layout_matches_bruteforce():
+    from textreact_tpu.ops.topk import (corpus_norms_padded, exact_topk_l2,
+                                        pad_matrix)
+    import jax.numpy as jnp
+    corpus = _random_fps(512, d=256, seed=11)
+    queries = _random_fps(128, d=256, seed=12)
+    cp = pad_matrix(corpus, 64)
+    norms = corpus_norms_padded(cp, len(corpus))
+    banned = np.full((128, 1), -1, dtype=np.int32)
+    vals, idx = exact_topk_l2(jnp.asarray(queries), jnp.asarray(cp),
+                              jnp.asarray(norms), jnp.asarray(banned),
+                              k=10, tile_q=8, tile_c=64, interpret=True,
+                              corpus_resident=True)
+    ref_vals, ref_idx = numpy_reference_topk(queries, corpus, 10)
+    np.testing.assert_array_equal(np.asarray(vals), ref_vals)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+
+
+def test_corpus_resident_with_banned():
+    from textreact_tpu.ops.topk import (corpus_norms_padded, exact_topk_l2,
+                                        pad_matrix)
+    import jax.numpy as jnp
+    corpus = _random_fps(256, d=128, seed=13)
+    queries = np.ascontiguousarray(corpus[:64])
+    cp = pad_matrix(corpus, 32)
+    norms = corpus_norms_padded(cp, len(corpus))
+    banned = np.arange(64, dtype=np.int32)[:, None]
+    vals, idx = exact_topk_l2(jnp.asarray(queries), jnp.asarray(cp),
+                              jnp.asarray(norms), jnp.asarray(banned),
+                              k=5, tile_q=8, tile_c=32, interpret=True,
+                              corpus_resident=True)
+    ref_vals, ref_idx = numpy_reference_topk(queries, corpus, 5, banned)
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    np.testing.assert_array_equal(np.asarray(vals), ref_vals)

@@ -38,70 +38,33 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
-                 run_vals, run_idx, *, k: int, tile_c: int, num_c_tiles: int,
-                 packed: bool = False):
-    """One (query-tile, corpus-tile) grid step: MXU matmul + top-k merge.
+def _merge_tile(scores, col_idx, rv, ri, k):
+    """Merge one tile of scores into a sorted running top-k.
 
-    The merge is a dynamic-count insertion loop: each iteration extracts the
-    per-row tile minimum and, for rows where it beats the current k-th
-    distance, inserts it into the sorted running top-k (a shift on a (TQ, k)
-    array) and retires it from the tile. The loop runs only while some row
-    can still improve, so a tile pays one min-sweep plus one sweep per
-    element that actually enters the top-k (expected O(1) once the running
-    top-k warms up) instead of a fixed k sweeps. `packed` is accepted for
-    API compatibility; the insertion loop is already tie-exact and is used
-    for all dtypes.
+    Dynamic-count insertion loop: per iteration, extract the per-row tile
+    minimum and, for rows where it beats the current k-th distance, insert
+    it into the sorted running (values, indices) — lexicographic
+    (value, index) order, so ties keep the lowest corpus index exactly like
+    faiss. Runs only while some row can still improve: a tile costs one
+    min-sweep plus one sweep per element that actually enters the top-k.
     """
-    del packed  # single unified algorithm
-    ci = pl.program_id(1)
-
-    @pl.when(ci == 0)
-    def _():
-        run_vals[:] = jnp.full_like(run_vals, BIG)
-        run_idx[:] = jnp.full_like(run_idx, BIG)
-
-    q = q_ref[:]                        # (TQ, d) int8
-    c = c_ref[:]                        # (TC, d) int8
-    dots = jax.lax.dot_general(
-        q, c, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)          # (TQ, TC)
-    scores = cnorm_ref[0, :][None, :] - 2 * dots    # |c|^2 - 2 q.c
-
-    col_idx = ci * tile_c + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-
-    # mask corpus padding (norm sentinel) and banned ids
-    scores = jnp.where(cnorm_ref[0, :][None, :] >= BIG, BIG, scores)
-    nb = banned_ref.shape[1]
-    for b in range(nb):
-        scores = jnp.where(col_idx == banned_ref[:, b][:, None], BIG, scores)
-
     tq = scores.shape[0]
-    slot = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)   # 0..k-1 per row
-
-    def improved_rows(state):
-        rv, _, sc = state
-        return jnp.min(sc, axis=1) < rv[:, k - 1]
+    slot = jax.lax.broadcasted_iota(jnp.int32, (tq, k), 1)
 
     def cond(state):
-        return jnp.any(improved_rows(state))
+        rv, _, sc = state
+        return jnp.any(jnp.min(sc, axis=1) < rv[:, k - 1])
 
     def body(state):
         rv, ri, sc = state
-        m = jnp.min(sc, axis=1)                               # (TQ,)
+        m = jnp.min(sc, axis=1)
         improved = m < rv[:, k - 1]
         at_min = sc == m[:, None]
-        # faiss tie rule: among equal scores take the lowest corpus index
         cidx = jnp.min(jnp.where(at_min, col_idx, BIG), axis=1)
-        # retire the selected element from improved rows
         sel = at_min & (col_idx == cidx[:, None]) & improved[:, None]
         sc = jnp.where(sel, BIG, sc)
-        # sorted insertion into the running top-k (lexicographic by
-        # (value, index) — running entries always have lower indices than
-        # the current tile, so equal values keep the earlier entry first)
         pos = jnp.sum((rv < m[:, None]) |
-                      ((rv == m[:, None]) & (ri < cidx[:, None])),
-                      axis=1)                                 # (TQ,)
+                      ((rv == m[:, None]) & (ri < cidx[:, None])), axis=1)
         prev_v = pltpu.roll(rv, 1, 1)
         prev_i = pltpu.roll(ri, 1, 1)
         new_v = jnp.where(slot < pos[:, None], rv,
@@ -112,8 +75,39 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
         ri = jnp.where(improved[:, None], new_i, ri)
         return rv, ri, sc
 
-    rv, ri, _ = jax.lax.while_loop(cond, body,
-                                   (run_vals[:], run_idx[:], scores))
+    rv, ri, _ = jax.lax.while_loop(cond, body, (rv, ri, scores))
+    return rv, ri
+
+
+def _tile_scores(q_ref, c_ref, cnorm_ref, banned_ref, ci, tile_c):
+    """MXU matmul + masking for one (query-tile, corpus-tile) pair."""
+    dots = jax.lax.dot_general(
+        q_ref[:], c_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    scores = cnorm_ref[0, :][None, :] - 2 * dots
+    col_idx = ci * tile_c + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(cnorm_ref[0, :][None, :] >= BIG, BIG, scores)
+    for b in range(banned_ref.shape[1]):
+        scores = jnp.where(col_idx == banned_ref[:, b][:, None], BIG, scores)
+    return scores, col_idx
+
+
+def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
+                 run_vals, run_idx, *, k: int, tile_c: int, num_c_tiles: int,
+                 packed: bool = False):
+    """Query-outer layout: grid (num_q, num_c), per-query-tile scratch; good
+    when the corpus dominates HBM traffic per query batch."""
+    del packed  # unified algorithm
+    ci = pl.program_id(1)
+
+    @pl.when(ci == 0)
+    def _():
+        run_vals[:] = jnp.full_like(run_vals, BIG)
+        run_idx[:] = jnp.full_like(run_idx, BIG)
+
+    scores, col_idx = _tile_scores(q_ref, c_ref, cnorm_ref, banned_ref, ci,
+                                   tile_c)
+    rv, ri = _merge_tile(scores, col_idx, run_vals[:], run_idx[:], k)
     run_vals[:] = rv
     run_idx[:] = ri
 
@@ -123,20 +117,75 @@ def _topk_kernel(q_ref, c_ref, cnorm_ref, banned_ref, vals_ref, idx_ref,
         idx_ref[:] = run_idx[:]
 
 
+def _topk_kernel_corpus_resident(q_ref, c_ref, cnorm_ref, banned_ref,
+                                 vals_ref, idx_ref, run_vals, run_idx, *,
+                                 k: int, tile_q: int, tile_c: int,
+                                 num_c_tiles: int):
+    """Corpus-resident layout: grid (num_c, num_q) with the query dimension
+    innermost, so each corpus tile stays in VMEM while every query tile
+    visits it — the corpus streams from HBM ONCE per search instead of once
+    per query tile. The running top-k for ALL query tiles lives in a
+    (M, k) VMEM scratch (the engine bounds M so it fits). This is the
+    index-build mode (train self-retrieval has M ~ N)."""
+    ci = pl.program_id(0)
+    qi = pl.program_id(1)
+    rows = pl.ds(qi * tile_q, tile_q)
+
+    @pl.when(ci == 0)
+    def _():
+        run_vals[rows, :] = jnp.full((tile_q, k), BIG, jnp.int32)
+        run_idx[rows, :] = jnp.full((tile_q, k), BIG, jnp.int32)
+
+    scores, col_idx = _tile_scores(q_ref, c_ref, cnorm_ref, banned_ref, ci,
+                                   tile_c)
+    rv, ri = _merge_tile(scores, col_idx, run_vals[rows, :], run_idx[rows, :], k)
+    run_vals[rows, :] = rv
+    run_idx[rows, :] = ri
+
+    @pl.when(ci == num_c_tiles - 1)
+    def _():
+        vals_ref[:] = rv
+        idx_ref[:] = ri
+
+
+# largest running-top-k scratch the corpus-resident layout may allocate in
+# VMEM. The (M, k) int32 scratch is lane-padded to (M, 128), so budget
+# 2 * M * 128 * 4 bytes.
+_RESIDENT_SCRATCH_BYTES = 6 * 1024 * 1024
+
+
+def resident_scratch_bytes(m: int, k: int) -> int:
+    lanes = max(k, 128)
+    return 2 * m * lanes * 4
+
+
+def max_resident_queries(k: int, tile_q: int = 128) -> int:
+    m = _RESIDENT_SCRATCH_BYTES // (2 * max(k, 128) * 4)
+    return (m // tile_q) * tile_q
+
+
 @functools.partial(jax.jit, static_argnames=("k", "tile_q", "tile_c",
-                                             "interpret", "packed"))
+                                             "interpret", "packed",
+                                             "corpus_resident"))
 def exact_topk_l2(queries: jax.Array, corpus: jax.Array,
                   corpus_norms: jax.Array,
                   banned: Optional[jax.Array] = None, *, k: int = 20,
                   tile_q: int = 128, tile_c: int = 1024,
                   interpret: bool = False,
-                  packed: bool = False) -> Tuple[jax.Array, jax.Array]:
+                  packed: bool = False,
+                  corpus_resident: bool = False) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k smallest L2^2 distances.
 
     queries: (M, d) int8, corpus: (N, d) int8 — d a multiple of 128, M/N
     multiples of the tile sizes (pad with `pad_matrix`); corpus_norms: (N,)
     int32 with >= BIG marking padding rows; banned: (M, NB) int32 global
     corpus indices excluded per query (use -1 for none).
+
+    corpus_resident=True selects the (num_c, num_q) grid layout where each
+    corpus tile is visited by every query tile before moving on — the
+    corpus streams from HBM once per search instead of once per query tile
+    (use for index-build workloads with many query tiles; requires the
+    (M, k) running top-k to fit VMEM).
 
     Returns (distances (M, k) int32 INCLUDING |q|^2, indices (M, k) int32).
     """
@@ -147,6 +196,47 @@ def exact_topk_l2(queries: jax.Array, corpus: jax.Array,
     if banned is None:
         banned = jnp.full((M, 1), -1, dtype=jnp.int32)
     num_q, num_c = M // tile_q, N // tile_c
+
+    if corpus_resident:
+        assert resident_scratch_bytes(M, k) <= _RESIDENT_SCRATCH_BYTES, (M, k)
+        kernel = functools.partial(_topk_kernel_corpus_resident, k=k,
+                                   tile_q=tile_q, tile_c=tile_c,
+                                   num_c_tiles=num_c)
+        vals, idx = pl.pallas_call(
+            kernel,
+            grid=(num_c, num_q),
+            in_specs=[
+                pl.BlockSpec((tile_q, d), lambda ci, qi: (qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_c, d), lambda ci, qi: (ci, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_c), lambda ci, qi: (0, ci),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_q, banned.shape[1]), lambda ci, qi: (qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_q, k), lambda ci, qi: (qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_q, k), lambda ci, qi: (qi, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((M, k), jnp.int32),
+                jax.ShapeDtypeStruct((M, k), jnp.int32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((M, k), jnp.int32),
+                pltpu.VMEM((M, k), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * N * d,
+                bytes_accessed=M * d * num_c + N * d + M * k * 8,
+                transcendentals=0),
+            interpret=interpret,
+        )(queries, corpus, corpus_norms[None, :], banned)
+        qnorm = jnp.sum(queries.astype(jnp.int32) ** 2, axis=1, keepdims=True)
+        return vals + qnorm, idx
 
     if packed:
         # packed keys must fit below the BIG sentinel

@@ -39,7 +39,8 @@ class FlatIndex:
 
     def __init__(self, corpus_fps: np.ndarray, mesh: Optional[Mesh] = None,
                  tile_q: int = 128, tile_c: int = 1024,
-                 interpret: Optional[bool] = None):
+                 interpret: Optional[bool] = None,
+                 corpus_resident: bool = False):
         assert corpus_fps.dtype == np.int8, corpus_fps.dtype
         self.n_real = corpus_fps.shape[0]
         self.tile_q = tile_q
@@ -48,6 +49,10 @@ class FlatIndex:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
+        # opt-in corpus-resident grid layout (index-build workloads with very
+        # large corpora; measured slower than the query-outer layout for
+        # moderate corpus sizes, see NOTES.md)
+        self.corpus_resident = corpus_resident
         # binary fingerprints enable the packed-key kernel fast path
         self.corpus_binary = (corpus_fps.size == 0 or
                               (corpus_fps.min() >= 0 and corpus_fps.max() <= 1))
@@ -74,7 +79,8 @@ class FlatIndex:
         self._search_fn = None
 
     # ------------------------------------------------------------------
-    def _build_search(self, k: int, nb: int, packed: bool):
+    def _build_search(self, k: int, nb: int, packed: bool,
+                      corpus_resident: bool = False):
         tile_q, tile_c, interpret = self.tile_q, self.tile_c, self.interpret
         shard_rows = self.shard_rows
 
@@ -82,7 +88,8 @@ class FlatIndex:
             def search(queries, corpus, norms, banned):
                 return exact_topk_l2(queries, corpus, norms, banned, k=k,
                                      tile_q=tile_q, tile_c=tile_c,
-                                     interpret=interpret, packed=packed)
+                                     interpret=interpret, packed=packed,
+                                     corpus_resident=corpus_resident)
             return jax.jit(search)
 
         mesh = self.mesh
@@ -93,7 +100,7 @@ class FlatIndex:
             vals, idx = exact_topk_l2(
                 queries, corpus, norms, banned - offset, k=k,
                 tile_q=tile_q, tile_c=tile_c, interpret=interpret,
-                packed=packed)
+                packed=packed, corpus_resident=corpus_resident)
             idx = jnp.where(idx >= BIG, idx, idx + offset)
             return vals[None], idx[None]
 
@@ -134,9 +141,29 @@ class FlatIndex:
         packed = (self.corpus_binary and queries.min() >= 0
                   and queries.max() <= 1
                   and (3 * self.dim + 2) << self.tile_c.bit_length() < BIG)
-        key = (k, banned_arr.shape[1], packed)
+        # corpus-resident layout: stream the corpus once per chunk of
+        # queries instead of once per 128-query tile (index-build workloads);
+        # large query sets are processed in fixed-size chunks so the running
+        # top-k fits VMEM scratch and one compilation serves every chunk
+        from ..ops.topk import max_resident_queries
+        chunk = max_resident_queries(k, self.tile_q)
+        resident = (self.corpus_resident and q.shape[0] // self.tile_q >= 8
+                    and chunk >= 8 * self.tile_q)
+        if resident and q.shape[0] > chunk:
+            out_v = np.empty((M, k), np.int32)
+            out_i = np.empty((M, k), np.int32)
+            for start in range(0, M, chunk):
+                stop = min(start + chunk, M)
+                v, i = self.search(queries[start:stop], k=k,
+                                   banned=None if banned is None
+                                   else banned[start:stop])
+                out_v[start:stop] = v
+                out_i[start:stop] = i
+            return out_v, out_i
+        key = (k, banned_arr.shape[1], packed, resident, q.shape[0])
         if self._search_fn is None or self._search_key != key:
-            self._search_fn = self._build_search(k, banned_arr.shape[1], packed)
+            self._search_fn = self._build_search(k, banned_arr.shape[1], packed,
+                                                 resident)
             self._search_key = key
         vals, idx = self._search_fn(jnp.asarray(q), self.corpus, self.norms,
                                     jnp.asarray(banned_arr))
