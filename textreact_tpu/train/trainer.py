@@ -284,7 +284,8 @@ class Trainer:
                     accuracy = evaluate_retrosynthesis(
                         predictions, self.test_dataset.data_df, cfg.num_beams,
                         template_based=cfg.template_based,
-                        template_path=cfg.template_path)
+                        template_path=cfg.template_path,
+                        num_workers=min(16, os.cpu_count() or 1))
                 log.info("test accuracy (%d): %s", li, accuracy)
                 print(json.dumps({str(k): v for k, v in accuracy.items()}))
                 results.append(accuracy)
