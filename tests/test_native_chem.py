@@ -49,3 +49,23 @@ def test_native_batch():
     assert batch.shape == (len(valid), 1024)
     for i, smi in enumerate(valid):
         assert np.array_equal(batch[i], morgan_fingerprint(smi).astype(np.int8)), smi
+
+
+def test_native_canonical_smiles_matches_python():
+    import random
+    from textreact_tpu.chem import canonical_smiles_strict, random_smiles
+    from textreact_tpu.chem.native import native_canonical_smiles
+    from test_chem_fuzz import DRUGS
+    rng = random.Random(0)
+    for smi in DRUGS:
+        assert native_canonical_smiles(smi) == canonical_smiles_strict(smi), smi
+        for _ in range(5):
+            shuffled, _ = random_smiles(smi, rng)
+            assert native_canonical_smiles(shuffled) == \
+                canonical_smiles_strict(shuffled), shuffled
+
+
+def test_native_canonical_fallback():
+    from textreact_tpu.chem.native import native_canonical_smiles
+    assert native_canonical_smiles("garbage(((") == "garbage((("
+    assert native_canonical_smiles("garbage(((", fallback="X") == "X"

@@ -13,6 +13,8 @@
 #include <cctype>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <functional>
 #include <map>
 #include <string>
 #include <vector>
@@ -59,6 +61,9 @@ int atomic_num(const std::string& sym) {
 
 enum BondKind { SINGLE = 1, DOUBLE = 2, TRIPLE = 3, QUAD = 4, AROMATIC = 5 };
 
+constexpr int CHI_NONE = 0, CHI_CW = 1, CHI_CCW = 2;
+constexpr int H_MARKER = -1000;  // chiral bracket-H slot in neighbor orders
+
 struct Atom {
   std::string symbol;
   bool aromatic = false;
@@ -66,6 +71,8 @@ struct Atom {
   int isotope = 0;
   int explicit_h = -1;  // -1 -> compute implicit
   int implicit_h = 0;
+  int atom_map = 0;
+  int chirality = CHI_NONE;
   int total_h() const { return explicit_h >= 0 ? explicit_h : implicit_h; }
 };
 
@@ -73,20 +80,24 @@ struct Bond {
   int a1, a2;
   int order = SINGLE;
   bool aromatic = false;
+  int direction = 0;  // +1 '/', -1 '\\' oriented a1->a2
 };
 
 struct Mol {
   std::vector<Atom> atoms;
   std::vector<Bond> bonds;
   std::vector<std::vector<int>> adj;  // atom -> bond indices
+  // per-atom SMILES appearance order of neighbors (+ H_MARKER slots),
+  // mirror of chem/mol.py smiles_neighbor_order
+  std::vector<std::vector<int>> nbr_order;
 
   int add_atom(Atom a) {
     atoms.push_back(std::move(a));
     adj.emplace_back();
     return (int)atoms.size() - 1;
   }
-  void add_bond(int a1, int a2, int order, bool aromatic) {
-    bonds.push_back({a1, a2, order, aromatic});
+  void add_bond(int a1, int a2, int order, bool aromatic, int direction = 0) {
+    bonds.push_back({a1, a2, order, aromatic, direction});
     adj[a1].push_back((int)bonds.size() - 1);
     adj[a2].push_back((int)bonds.size() - 1);
   }
@@ -156,13 +167,18 @@ Atom parse_bracket(const std::string& body) {
   }
   if (sym != "*" && atomic_num(sym) == 0) throw ParseError{};
   atom.symbol = sym;
-  // chirality (ignored for fingerprints)
-  while (i < body.size() && body[i] == '@') ++i;
-  if (i < body.size() && (body.compare(i, 2, "TH") == 0 || body.compare(i, 2, "AL") == 0 ||
-                          body.compare(i, 2, "SP") == 0 || body.compare(i, 2, "TB") == 0 ||
-                          body.compare(i, 2, "OH") == 0)) {
-    i += 2;
-    while (i < body.size() && isdigit((unsigned char)body[i])) ++i;
+  // chirality
+  {
+    int ats = 0;
+    while (i < body.size() && body[i] == '@') { ++ats; ++i; }
+    if (ats == 1) atom.chirality = CHI_CCW;
+    else if (ats >= 2) atom.chirality = CHI_CW;
+    if (i < body.size() && (body.compare(i, 2, "TH") == 0 || body.compare(i, 2, "AL") == 0 ||
+                            body.compare(i, 2, "SP") == 0 || body.compare(i, 2, "TB") == 0 ||
+                            body.compare(i, 2, "OH") == 0)) {
+      i += 2;
+      while (i < body.size() && isdigit((unsigned char)body[i])) ++i;
+    }
   }
   atom.explicit_h = 0;
   if (i < body.size() && body[i] == 'H') {
@@ -186,8 +202,9 @@ Atom parse_bracket(const std::string& body) {
     atom.charge = sign == '+' ? count : -count;
   }
   if (i < body.size() && body[i] == ':') {
-    ++i;  // atom map, ignored
-    while (i < body.size() && isdigit((unsigned char)body[i])) ++i;
+    ++i;
+    while (i < body.size() && isdigit((unsigned char)body[i]))
+      atom.atom_map = atom.atom_map * 10 + (body[i++] - '0');
   }
   if (i != body.size()) throw ParseError{};
   return atom;
@@ -200,12 +217,19 @@ Mol parse_smiles(const std::string& smiles) {
   std::vector<std::pair<int, char>> stack;
   std::map<int, std::pair<int, char>> ring_open;
 
-  auto bond_props = [&](char ch, int a1, int a2, int* order, bool* aromatic) {
+  // mirrors chem/mol.py _bond_props: '/'='\\' are directed singles; ':'
+  // is explicitly aromatic; no symbol between two aromatic atoms makes an
+  // aromatic bond
+  auto bond_props = [&](char ch, int a1, int a2, int* order, bool* aromatic,
+                        int* direction) {
+    *direction = 0;
     if (ch == 0) {
       *order = SINGLE;
       *aromatic = mol.atoms[a1].aromatic && mol.atoms[a2].aromatic;
       return;
     }
+    if (ch == '/') { *order = SINGLE; *aromatic = false; *direction = +1; return; }
+    if (ch == '\\') { *order = SINGLE; *aromatic = false; *direction = -1; return; }
     *aromatic = ch == ':';
     switch (ch) {
       case '=': *order = DOUBLE; break;
@@ -216,12 +240,18 @@ Mol parse_smiles(const std::string& smiles) {
   };
 
   auto add_atom = [&](Atom a) {
+    bool chiral_h = a.chirality != CHI_NONE && a.explicit_h == 1;
     int cur = mol.add_atom(std::move(a));
+    mol.nbr_order.emplace_back();
     if (prev >= 0) {
-      int order; bool arom;
-      bond_props(pending, prev, cur, &order, &arom);
-      mol.add_bond(prev, cur, order, arom);
+      int order, direction; bool arom;
+      bond_props(pending, prev, cur, &order, &arom, &direction);
+      mol.add_bond(prev, cur, order, arom, direction);
+      mol.nbr_order[prev].push_back(cur);
+      mol.nbr_order[cur].push_back(prev);
     }
+    // bracket hydrogen on a chiral center occupies the next neighbor slot
+    if (chiral_h) mol.nbr_order[cur].push_back(H_MARKER);
     pending = 0;
     prev = cur;
   };
@@ -233,11 +263,17 @@ Mol parse_smiles(const std::string& smiles) {
       int other = it->second.first;
       char ch = pending ? pending : it->second.second;
       ring_open.erase(it);
-      int order; bool arom;
-      bond_props(ch, other, prev, &order, &arom);
-      mol.add_bond(other, prev, order, arom);
+      int order, direction; bool arom;
+      bond_props(ch, other, prev, &order, &arom, &direction);
+      mol.add_bond(other, prev, order, arom, direction);
+      // opener's placeholder becomes the closing atom; closer appends
+      int placeholder = -num - 1;
+      for (auto& e : mol.nbr_order[other])
+        if (e == placeholder) { e = prev; break; }
+      mol.nbr_order[prev].push_back(other);
     } else {
       ring_open[num] = {prev, pending};
+      mol.nbr_order[prev].push_back(-num - 1);
     }
     pending = 0;
   };
@@ -262,7 +298,7 @@ Mol parse_smiles(const std::string& smiles) {
     } else if (c == '*') {
       add_atom({.symbol = "*"}); ++i;
     } else if (strchr("-=#$:/\\~", c)) {
-      pending = (c == '/' || c == '\\' || c == '~') ? '-' : c; ++i;
+      pending = (c == '~') ? '-' : c; ++i;
     } else if (c == '(') {
       stack.push_back({prev, pending}); pending = 0; ++i;
     } else if (c == ')') {
@@ -287,6 +323,413 @@ Mol parse_smiles(const std::string& smiles) {
   if (!ring_open.empty() || !stack.empty()) throw ParseError{};
   assign_implicit_h(mol);
   return mol;
+}
+
+// ===========================================================================
+// Canonical SMILES (mirror of chem/canon.py: WL-refinement ranks +
+// deterministic DFS writer with chirality parity and cis/trans
+// normalization). Tests assert string equality with the python
+// implementation over randomized atom orders.
+// ===========================================================================
+
+using Key = std::vector<long long>;
+
+std::map<int, int> ranks_from_keys(const std::vector<int>& atoms,
+                                   const std::map<int, Key>& keys) {
+  std::vector<Key> uniq;
+  uniq.reserve(atoms.size());
+  for (int a : atoms) uniq.push_back(keys.at(a));
+  std::sort(uniq.begin(), uniq.end());
+  uniq.erase(std::unique(uniq.begin(), uniq.end()), uniq.end());
+  std::map<int, int> out;
+  for (int a : atoms)
+    out[a] = (int)(std::lower_bound(uniq.begin(), uniq.end(), keys.at(a)) -
+                   uniq.begin());
+  return out;
+}
+
+int bond_rank_key(const Bond& b) { return b.aromatic ? AROMATIC + 1 : b.order; }
+
+size_t count_classes(const std::map<int, int>& r) {
+  std::vector<int> vals;
+  for (auto& kv : r) vals.push_back(kv.second);
+  std::sort(vals.begin(), vals.end());
+  vals.erase(std::unique(vals.begin(), vals.end()), vals.end());
+  return vals.size();
+}
+
+std::map<int, int> canonical_ranks(const Mol& mol,
+                                   const std::vector<int>& atoms) {
+  std::map<int, bool> in_set;
+  for (int a : atoms) in_set[a] = true;
+  std::map<int, Key> inv;
+  for (int a : atoms) {
+    const Atom& at = mol.atoms[a];
+    inv[a] = Key{atomic_num(at.symbol), (long long)mol.adj[a].size(),
+                 at.charge, at.total_h(), at.aromatic ? 1 : 0, at.isotope};
+  }
+  auto ranks = ranks_from_keys(atoms, inv);
+
+  auto refine = [&](std::map<int, int> r) {
+    for (;;) {
+      std::map<int, Key> keys;
+      for (int a : atoms) {
+        std::vector<std::pair<long long, long long>> nbr;
+        for (int b : mol.adj[a]) {
+          int o = mol.other(b, a);
+          if (!in_set.count(o)) continue;
+          nbr.push_back({bond_rank_key(mol.bonds[b]), r.at(o)});
+        }
+        std::sort(nbr.begin(), nbr.end());
+        Key key{r.at(a)};
+        for (auto& p : nbr) { key.push_back(p.first); key.push_back(p.second); }
+        keys[a] = std::move(key);
+      }
+      auto nr = ranks_from_keys(atoms, keys);
+      if (count_classes(nr) == count_classes(r)) return nr;
+      r = std::move(nr);
+    }
+  };
+
+  ranks = refine(ranks);
+  while (count_classes(ranks) < atoms.size()) {
+    // split the lowest tied class at its lowest-index member
+    std::map<int, std::vector<int>> by_rank;
+    for (int a : atoms) by_rank[ranks[a]].push_back(a);
+    int tied = -1;
+    for (auto& kv : by_rank)
+      if (kv.second.size() > 1) { tied = kv.first; break; }
+    int chosen = *std::min_element(by_rank[tied].begin(), by_rank[tied].end());
+    std::map<int, Key> keys;
+    for (int a : atoms)
+      keys[a] = Key{ranks[a], a == chosen ? 0 : 1};
+    ranks = refine(ranks_from_keys(atoms, keys));
+  }
+  return ranks;
+}
+
+int permutation_parity(std::vector<int> perm) {
+  int parity = 0;
+  for (size_t i = 0; i < perm.size(); ++i) {
+    while (perm[i] != (int)i) {
+      std::swap(perm[i], perm[perm[i]]);
+      parity ^= 1;
+    }
+  }
+  return parity;
+}
+
+int reader_inferred_h(const Mol& mol, int idx) {
+  const Atom& at = mol.atoms[idx];
+  int order_sum = 0;
+  for (int b : mol.adj[idx])
+    order_sum += mol.bonds[b].aromatic ? 1 : mol.bonds[b].order;
+  if (at.aromatic && (at.symbol == "B" || at.symbol == "C" ||
+                      at.symbol == "N" || at.symbol == "P"))
+    order_sum += 1;
+  const auto* vals = default_valences(at.symbol);
+  if (vals)
+    for (int v : *vals)
+      if (order_sum <= v) return v - order_sum;
+  return 0;
+}
+
+std::string atom_token(const Mol& mol, int idx, int chi_out) {
+  const Atom& at = mol.atoms[idx];
+  std::string sym = at.symbol;
+  if (at.aromatic)
+    for (auto& c : sym) c = (char)tolower((unsigned char)c);
+  bool plain_symbol = at.symbol == "B" || at.symbol == "C" || at.symbol == "N" ||
+                      at.symbol == "O" || at.symbol == "P" || at.symbol == "S" ||
+                      at.symbol == "F" || at.symbol == "Cl" ||
+                      at.symbol == "Br" || at.symbol == "I" || at.symbol == "*";
+  bool needs_bracket = !plain_symbol || at.charge != 0 || at.isotope != 0 ||
+                       chi_out != CHI_NONE ||
+                       at.total_h() != reader_inferred_h(mol, idx) ||
+                       at.atom_map != 0;
+  if (!needs_bracket) return sym;
+  std::string out = "[";
+  if (at.isotope) out += std::to_string(at.isotope);
+  out += sym;
+  if (chi_out == CHI_CCW) out += "@";
+  else if (chi_out == CHI_CW) out += "@@";
+  int h = at.total_h();
+  if (h == 1) out += "H";
+  else if (h > 1) out += "H" + std::to_string(h);
+  if (at.charge == 1) out += "+";
+  else if (at.charge == -1) out += "-";
+  else if (at.charge > 1) out += "+" + std::to_string(at.charge);
+  else if (at.charge < -1) out += "-" + std::to_string(-at.charge);
+  if (at.atom_map) out += ":" + std::to_string(at.atom_map);
+  out += "]";
+  return out;
+}
+
+struct Writer {
+  const Mol& mol;
+  const std::map<int, int>& rank_of;
+  std::vector<int> atoms;
+  std::map<int, bool> in_set;
+
+  std::map<int, int> parent_bond;           // atom -> bond idx
+  std::map<int, std::vector<int>> children;  // atom -> bond idxs
+  std::map<int, std::vector<int>> ring_bonds_at;
+  std::vector<bool> seen_bond;
+  std::map<int, bool> visited;
+
+  std::map<int, int> ring_digit;            // bond -> digit
+  int next_digit = 1;
+  std::vector<int> free_digits;
+  std::map<int, bool> dir_flip;
+  std::vector<std::pair<int, char>> dir_emit_order;
+  std::string pieces;
+
+  Writer(const Mol& m, const std::map<int, int>& r, std::vector<int> a)
+      : mol(m), rank_of(r), atoms(std::move(a)),
+        seen_bond(m.bonds.size(), false) {
+    for (int x : atoms) in_set[x] = true;
+  }
+
+  std::vector<int> sorted_bonds(int a) {
+    std::vector<int> out;
+    for (int b : mol.adj[a])
+      if (in_set.count(mol.other(b, a))) out.push_back(b);
+    std::stable_sort(out.begin(), out.end(), [&](int x, int y) {
+      return rank_of.at(mol.other(x, a)) < rank_of.at(mol.other(y, a));
+    });
+    return out;
+  }
+
+  void classify(int a) {
+    for (int b : sorted_bonds(a)) {
+      if (seen_bond[b]) continue;
+      int o = mol.other(b, a);
+      seen_bond[b] = true;
+      if (visited.count(o)) {
+        ring_bonds_at[a].push_back(b);
+        ring_bonds_at[o].push_back(b);
+      } else {
+        visited[o] = true;
+        parent_bond[o] = b;
+        children[a].push_back(b);
+        classify(o);
+      }
+    }
+  }
+
+  char direction_sym(int b, int src) {
+    const Bond& bond = mol.bonds[b];
+    bool up = bond.direction == +1;
+    if (bond.a1 != src) up = !up;
+    auto it = dir_flip.find(b);
+    if (it != dir_flip.end() && it->second) up = !up;
+    char sym = up ? '/' : '\\';
+    dir_emit_order.push_back({b, sym});
+    return sym;
+  }
+
+  std::string bond_symbol(int b, int src) {
+    const Bond& bond = mol.bonds[b];
+    if (bond.aromatic) return "";
+    if (bond.direction != 0) return std::string(1, direction_sym(b, src));
+    if (bond.order == SINGLE) {
+      if (mol.atoms[bond.a1].aromatic && mol.atoms[bond.a2].aromatic)
+        return "-";
+      return "";
+    }
+    switch (bond.order) {
+      case DOUBLE: return "=";
+      case TRIPLE: return "#";
+      case QUAD: return "$";
+    }
+    return "";
+  }
+
+  std::string bond_symbol_ring(int b, int src) {
+    const Bond& bond = mol.bonds[b];
+    if (bond.direction != 0 && !bond.aromatic && bond.order == SINGLE)
+      return "";
+    return bond_symbol(b, src);
+  }
+
+  int alloc_digit() {
+    if (!free_digits.empty()) {
+      int d = free_digits.front();
+      free_digits.erase(free_digits.begin());
+      return d;
+    }
+    return next_digit++;
+  }
+
+  std::string digit_token(int d, const std::string& sym) {
+    if (d >= 10) {
+      char buf[8];
+      snprintf(buf, sizeof(buf), "%%%02d", d);
+      return sym + buf;
+    }
+    return sym + std::to_string(d);
+  }
+
+  int chirality_out(int a, const std::vector<int>& written) {
+    const Atom& at = mol.atoms[a];
+    if (at.chirality == CHI_NONE) return CHI_NONE;
+    const std::vector<int>& orig = mol.nbr_order[a];
+    if (orig.size() != written.size()) return at.chirality;
+    {
+      auto so = orig;
+      auto sw = written;
+      std::sort(so.begin(), so.end());
+      std::sort(sw.begin(), sw.end());
+      if (so != sw) return at.chirality;
+    }
+    std::vector<int> perm;
+    for (int x : written)
+      perm.push_back((int)(std::find(orig.begin(), orig.end(), x) -
+                           orig.begin()));
+    if (permutation_parity(perm))
+      return at.chirality == CHI_CCW ? CHI_CW : CHI_CCW;
+    return at.chirality;
+  }
+
+  void write_atom(int a) {
+    std::vector<int> written;
+    auto pit = parent_bond.find(a);
+    if (pit != parent_bond.end())
+      written.push_back(mol.other(pit->second, a));
+    const Atom& at = mol.atoms[a];
+    if (at.chirality != CHI_NONE && at.explicit_h == 1)
+      written.push_back(H_MARKER);
+    for (int b : ring_bonds_at[a]) written.push_back(mol.other(b, a));
+    for (int b : children[a]) written.push_back(mol.other(b, a));
+    pieces += atom_token(mol, a, chirality_out(a, written));
+    for (int b : ring_bonds_at[a]) {
+      auto it = ring_digit.find(b);
+      if (it != ring_digit.end()) {
+        int d = it->second;
+        ring_digit.erase(it);
+        free_digits.push_back(d);
+        std::sort(free_digits.begin(), free_digits.end());
+        pieces += digit_token(d, bond_symbol_ring(b, a));
+      } else {
+        int d = alloc_digit();
+        ring_digit[b] = d;
+        pieces += digit_token(d, bond_symbol_ring(b, a));
+      }
+    }
+    auto& kids = children[a];
+    for (size_t i = 0; i < kids.size(); ++i) {
+      int b = kids[i];
+      int o = mol.other(b, a);
+      bool last = i + 1 == kids.size();
+      if (!last) pieces += "(";
+      pieces += bond_symbol(b, a);
+      write_atom(o);
+      if (!last) pieces += ")";
+    }
+  }
+
+  void fill_direction_flips() {
+    std::vector<int> dir_bonds;
+    for (auto& p : dir_emit_order) dir_bonds.push_back(p.first);
+    std::sort(dir_bonds.begin(), dir_bonds.end());
+    dir_bonds.erase(std::unique(dir_bonds.begin(), dir_bonds.end()),
+                    dir_bonds.end());
+    std::map<int, int> parent;
+    for (int b : dir_bonds) parent[b] = b;
+    std::function<int(int)> find = [&](int x) {
+      while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+      return x;
+    };
+    auto unite = [&](int x, int y) {
+      int rx = find(x), ry = find(y);
+      if (rx != ry) parent[rx] = ry;
+    };
+    std::map<int, std::vector<int>> at_atom;
+    for (int b : dir_bonds) {
+      at_atom[mol.bonds[b].a1].push_back(b);
+      at_atom[mol.bonds[b].a2].push_back(b);
+    }
+    for (auto& kv : at_atom)
+      for (size_t i = 1; i < kv.second.size(); ++i)
+        unite(kv.second[0], kv.second[i]);
+    for (const Bond& db : mol.bonds) {
+      if (db.order == DOUBLE && !db.aromatic) {
+        auto i1 = at_atom.find(db.a1);
+        auto i2 = at_atom.find(db.a2);
+        if (i1 != at_atom.end() && i2 != at_atom.end() &&
+            !i1->second.empty() && !i2->second.empty())
+          unite(i1->second[0], i2->second[0]);
+      }
+    }
+    std::map<int, char> first_sym;
+    for (auto& p : dir_emit_order) {
+      int root = find(p.first);
+      if (!first_sym.count(root)) first_sym[root] = p.second;
+    }
+    for (int b : dir_bonds) dir_flip[b] = first_sym[find(b)] == '\\';
+  }
+
+  std::string run() {
+    int start = atoms[0];
+    for (int a : atoms)
+      if (rank_of.at(a) < rank_of.at(start)) start = a;
+    visited[start] = true;
+    classify(start);
+    write_atom(start);
+    if (!dir_emit_order.empty()) {
+      fill_direction_flips();
+      bool any = false;
+      for (auto& kv : dir_flip) any |= kv.second;
+      if (any) {
+        pieces.clear();
+        ring_digit.clear();
+        free_digits.clear();
+        next_digit = 1;
+        dir_emit_order.clear();
+        write_atom(start);
+      }
+    }
+    return pieces;
+  }
+};
+
+std::vector<std::vector<int>> fragment_atom_sets(const Mol& mol) {
+  std::vector<bool> seen(mol.atoms.size(), false);
+  std::vector<std::vector<int>> comps;
+  for (size_t start = 0; start < mol.atoms.size(); ++start) {
+    if (seen[start]) continue;
+    std::vector<int> comp, stack{(int)start};
+    seen[start] = true;
+    while (!stack.empty()) {
+      int a = stack.back();
+      stack.pop_back();
+      comp.push_back(a);
+      for (int b : mol.adj[a]) {
+        int o = mol.other(b, a);
+        if (!seen[o]) { seen[o] = true; stack.push_back(o); }
+      }
+    }
+    std::sort(comp.begin(), comp.end());
+    comps.push_back(std::move(comp));
+  }
+  return comps;
+}
+
+std::string canonical_smiles_impl(const std::string& smiles) {
+  Mol mol = parse_smiles(smiles);
+  std::vector<std::string> frags;
+  for (auto& frag : fragment_atom_sets(mol)) {
+    auto ranks = canonical_ranks(mol, frag);
+    Writer w(mol, ranks, frag);
+    frags.push_back(w.run());
+  }
+  std::sort(frags.begin(), frags.end());
+  std::string out;
+  for (size_t i = 0; i < frags.size(); ++i) {
+    if (i) out += ".";
+    out += frags[i];
+  }
+  return out;
 }
 
 std::vector<bool> ring_membership(const Mol& mol) {
@@ -422,6 +865,20 @@ void cchem_morgan_fp_batch(const char* smiles_blob, int n_rows, int radius,
     int8_t* dst = out + (size_t)row * n_bits;
     for (int i = 0; i < n_bits; ++i) dst[i] = (int8_t)buf[i];
     p += strlen(p) + 1;
+  }
+}
+
+// Canonical SMILES of a (possibly multi-fragment) molecule. Returns 0 and
+// writes a NUL-terminated string on success; 1 on parse failure or
+// overflow (caller falls back, mirroring chem/canon.py canonical_smiles).
+int cchem_canonical_smiles(const char* smiles, char* out, int out_cap) {
+  try {
+    std::string canon = canonical_smiles_impl(smiles);
+    if ((int)canon.size() + 1 > out_cap) return 1;
+    memcpy(out, canon.c_str(), canon.size() + 1);
+    return 0;
+  } catch (...) {
+    return 1;
   }
 }
 

@@ -57,6 +57,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.cchem_morgan_fp_batch.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int8)]
+        lib.cchem_canonical_smiles.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
+        lib.cchem_canonical_smiles.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -97,3 +100,16 @@ def native_morgan_batch(smiles_list: Sequence[str], radius: int = 2,
     lib.cchem_morgan_fp_batch(blob, len(smiles_list), radius, n_bits,
                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return out
+
+
+def native_canonical_smiles(smiles: str, fallback: Optional[str] = None) -> str:
+    """Canonical SMILES via the C++ engine (bit-identical to
+    chem.canonical_smiles_strict); returns `fallback` (default: the input,
+    matching reference evaluate.py:27-32) on parse failure."""
+    lib = get_lib()
+    assert lib is not None
+    buf = ctypes.create_string_buffer(4 * len(smiles) + 64)
+    rc = lib.cchem_canonical_smiles(smiles.encode(), buf, len(buf))
+    if rc != 0:
+        return smiles if fallback is None else fallback
+    return buf.value.decode()

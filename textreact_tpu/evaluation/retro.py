@@ -26,6 +26,10 @@ NO_MATCH = 100000
 def _canon(smiles: str) -> str:
     if HAS_RDKIT:
         return rdkit_canonical_smiles(smiles)
+    from ..chem.native import native_available
+    if native_available():
+        from ..chem.native import native_canonical_smiles
+        return native_canonical_smiles(smiles)
     return canonical_smiles(smiles)
 
 
