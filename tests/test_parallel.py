@@ -86,3 +86,42 @@ def test_param_spec_rules():
     # embeddings + norms replicated
     assert param_spec(path("embeddings", "word_embeddings", "embedding"), v2) \
         == param_spec(path("layer_0", "attention_norm", "scale"), v1)
+
+
+def test_zero1_matches_replicated():
+    from textreact_tpu.parallel.sharding import zero1_opt_state
+    loss_ref, gn_ref, _ = _setup(dp=4, tp=1)
+
+    module = EncoderDecoder(encoder_config=ENC, decoder_config=DEC,
+                            dtype=jnp.float32)
+    cfg = ExperimentConfig(task="condition", compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (B, 32)), jnp.int32),
+        "attention_mask": jnp.ones((B, 32), jnp.int32),
+        "decoder_input_ids": jnp.asarray(rng.integers(1, 64, (B, 8)), jnp.int32),
+        "decoder_attention_mask": jnp.ones((B, 8), jnp.int32),
+        "example_mask": jnp.ones((B,), jnp.int32),
+        "indices": jnp.arange(B, dtype=jnp.int32),
+    }
+    params = module.init(jax.random.PRNGKey(0),
+                         input_ids=batch["input_ids"],
+                         attention_mask=batch["attention_mask"],
+                         decoder_input_ids=batch["decoder_input_ids"],
+                         decoder_attention_mask=batch["decoder_attention_mask"])
+    mesh = make_mesh(4, 1)
+    with mesh:
+        sharded = shard_params(mesh, params)
+        tx = make_optimizer(cfg, 100)
+        state = ensure_mesh_placement(mesh, TrainState.create(sharded, tx))
+        state = state.replace(opt_state=zero1_opt_state(mesh, state.opt_state))
+        step = make_train_step(module, cfg, tx, dec_pad_id=0)
+        dbatch = {k: jax.device_put(v, batch_sharding(mesh))
+                  for k, v in batch.items()}
+        new_state, metrics = step(state, dbatch, jax.random.PRNGKey(1))
+        np.testing.assert_allclose(float(metrics["train_loss"]), loss_ref, rtol=1e-4)
+        np.testing.assert_allclose(float(metrics["grad_norm"]), gn_ref, rtol=1e-3)
+        # two steps chain fine with sharded moments
+        new_state, metrics = step(new_state, dbatch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["train_loss"]))

@@ -97,6 +97,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true")
     p.add_argument("--attention_impl", type=str, choices=["xla", "flash"],
                    default="xla")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard optimizer moments over the dp axis (ZeRO-1)")
     return p
 
 

@@ -93,6 +93,7 @@ class ExperimentConfig:
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
     log_every: int = 10
     attention_impl: str = "xla"   # 'xla' | 'flash' (pallas flash-attention)
+    zero1: bool = False                 # shard optimizer moments over dp (ZeRO-1)
     profile: bool = False
     remat: bool = False                 # jax.checkpoint the encoder/decoder blocks
 

@@ -51,6 +51,30 @@ def shard_params(mesh: Mesh, params: Any) -> Any:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
+def zero1_opt_state(mesh: Mesh, opt_state: Any) -> Any:
+    """ZeRO-1: shard large optimizer moments over the dp axis.
+
+    The reference's regime replicates optimizer state per GPU (DDP); at
+    larger scales the Adam moments dominate HBM, so leaves that match a
+    parameter's shape get their first >=dp-divisible axis sharded over
+    'dp'. XLA inserts the gathers around the (cheap) optimizer update.
+    """
+    from .mesh import DP_AXIS
+    dp = mesh.shape[DP_AXIS]
+
+    def spec(x):
+        if not hasattr(x, "ndim") or x.ndim == 0:
+            return NamedSharding(mesh, P())
+        for axis in range(x.ndim):
+            if x.shape[axis] % dp == 0 and x.shape[axis] >= dp:
+                parts = [None] * x.ndim
+                parts[axis] = DP_AXIS
+                return NamedSharding(mesh, P(*parts))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(lambda x: jax.device_put(x, spec(x)), opt_state)
+
+
 def ensure_mesh_placement(mesh: Mesh, tree: Any) -> Any:
     """Replicate every leaf that doesn't already carry a NamedSharding on
     `mesh` (freshly-created optimizer scalars, checkpoint-restored arrays) so

@@ -173,9 +173,12 @@ class Trainer:
         start_epoch, best_score = 0, None
         if cfg.overwrite:
             self.ckpt.clear()
-        from ..parallel.sharding import ensure_mesh_placement
+        from ..parallel.sharding import ensure_mesh_placement, zero1_opt_state
         params = self._init_params()
         state = ensure_mesh_placement(self.mesh, TrainState.create(params, self._tx))
+        if cfg.zero1:
+            state = state.replace(
+                opt_state=zero1_opt_state(self.mesh, state.opt_state))
         if self.ckpt.exists(cfg.load_ckpt):
             state, meta = self.ckpt.restore(cfg.load_ckpt, state)
             state = ensure_mesh_placement(self.mesh, state)
