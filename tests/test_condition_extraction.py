@@ -103,3 +103,45 @@ def test_extract_non_smiles_and_merge_names():
                        "solvent2": [""], "reagent1": [""], "reagent2": [""]})
     out = merge_name_to_smiles(df, {"tetrahydrofuran": "C1CCOC1"})
     assert out["catalyst1"][0] == "C1CCOC1"
+
+
+def test_preprocess_cli_condition_split(tmp_path):
+    import random
+    from textreact_tpu.preprocess.cli import main as preprocess_main
+    rng = random.Random(0)
+    rows = []
+    for i in range(150):
+        rows.append({"id": f"P{i % 10}_{i}", "source": f"P{i % 10}",
+                     "canonical_rxn": f"r{i}>>p{i}", "remapped_rxn": f"m{i}",
+                     "catalyst": "Pd", "solvent": "CCO.ClCCl", "reagent": "O"})
+    inp = tmp_path / "conditions.csv"
+    pd.DataFrame(rows).to_csv(inp, index=False)
+    info = {f"P{i}": {"year": 2010 + i} for i in range(10)}
+    info_path = tmp_path / "patent_info.json"
+    import json
+    info_path.write_text(json.dumps(info))
+    out = tmp_path / "out"
+    preprocess_main(["condition-split", "--input", str(inp),
+                     "--output_path", str(out), "--patent_info", str(info_path),
+                     "--remove_threshold", "10"])
+    split = pd.read_csv(out / "USPTO_condition.csv", keep_default_na=False)
+    assert {"catalyst1", "solvent1", "solvent2", "reagent1", "reagent2",
+            "dataset"} <= set(split.columns)
+    assert (split["solvent1"] == "CCO").all()
+    assert (split["solvent2"] == "ClCCl").all()
+    vocab = (out / "vocab_condition.txt").read_text().split("\n")
+    assert vocab[0] == "[PAD]" and "Pd" in vocab
+    assert (out / "year_split" / "USPTO_condition_test.csv").exists()
+
+
+def test_preprocess_cli_dedup(tmp_path):
+    from textreact_tpu.preprocess.cli import main as preprocess_main
+    df = pd.DataFrame({"id": ["a", "b", "c"], "heading_text": ["", "", ""],
+                       "paragraph_text": ["x", "x", "y"]})
+    inp = tmp_path / "corpus.csv"
+    df.to_csv(inp, index=False)
+    out = tmp_path / "out"
+    preprocess_main(["dedup-corpus", "--input", str(inp),
+                     "--output_path", str(out)])
+    dedup = pd.read_csv(out / "corpus_dedup.csv")
+    assert len(dedup) == 2

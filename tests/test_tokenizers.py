@@ -117,3 +117,25 @@ def test_joint_tokenizer_text_only_mode():
         assert len(joint) == len(text_tok)
         enc = joint("CCO", text_pair="the reaction")
         assert max(enc["input_ids"]) < len(text_tok)
+
+
+def test_smiles_tokenizer_roundtrip_fuzz():
+    """encode->decode must reproduce the input for vocabulary-covered SMILES."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_chem_fuzz import DRUGS
+    tok = SmilesTokenizer()
+    for smi in DRUGS:
+        if smi.startswith("[13C]") or ":" in smi:
+            continue  # isotope/map tokens are not in the vocab
+        enc = tok(smi)
+        assert tok.decode(enc["input_ids"]) == smi, smi
+
+
+def test_condition_tokenizer_real_vocab_roundtrip():
+    tok = ConditionTokenizer()
+    # every non-special vocab entry round-trips
+    entries = [t for t in tok.vocab.token_to_id
+               if not (t.startswith("[") and t.endswith("]"))][:50]
+    enc = tok(entries)
+    assert tok.decode(enc["input_ids"][1:-1]) == entries
