@@ -99,3 +99,19 @@ def test_resume_from_checkpoint(workdir):
     trainer.fit()  # resumes from epoch 2 checkpoint written by previous test
     state = trainer._state
     assert int(state.step) > 0
+
+
+@pytest.mark.slow
+def test_gradient_accumulation(workdir):
+    cfg = _cfg(workdir, epochs=1, do_test=False,
+               save_path=os.path.join(workdir, "out_accum"),
+               gradient_accumulation_steps=2, overwrite=True)
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    trainer.fit()
+    with open(os.path.join(cfg.save_path, "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+    # 24 examples / batch 8 = 3 loader batches -> 1 full accum step + 1 flush
+    assert int(trainer._state.step) == 2

@@ -167,7 +167,14 @@ class Trainer:
         num_steps = self._num_training_steps()
         log.info("num training steps: %d", num_steps)
         self._tx = make_optimizer(cfg, num_steps)
-        train_step = make_train_step(self.module, cfg, self._tx, self.dec_pad_id)
+        accum = max(1, cfg.gradient_accumulation_steps)
+        if accum > 1:
+            from .step import make_accum_train_step
+            train_step = make_accum_train_step(self.module, cfg, self._tx,
+                                               self.dec_pad_id)
+        else:
+            train_step = make_train_step(self.module, cfg, self._tx,
+                                         self.dec_pad_id)
         eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
 
         start_epoch, best_score = 0, None
@@ -192,11 +199,25 @@ class Trainer:
         global_step = int(state.step)
         from ..utils.profiling import trace
         profile_dir = os.path.join(cfg.save_path, "profile") if cfg.profile else None
+        micro_buffer: List[Dict[str, jax.Array]] = []
+
+        def stacked(buffer):
+            return {k: jnp.stack([b[k] for b in buffer]) for k in buffer[0]}
+
         with self.mesh, trace(profile_dir):
             for epoch in range(start_epoch, cfg.epochs):
                 loader.set_epoch(epoch)
                 for batch in loader:
-                    state, metrics = train_step(state, self._device_batch(batch), rng)
+                    if accum > 1:
+                        # accumulate N loader batches per optimizer step
+                        # (reference accumulate_grad_batches, main.py:381)
+                        micro_buffer.append(self._device_batch(batch))
+                        if len(micro_buffer) < accum:
+                            continue
+                        state, metrics = train_step(state, stacked(micro_buffer), rng)
+                        micro_buffer = []
+                    else:
+                        state, metrics = train_step(state, self._device_batch(batch), rng)
                     timer.tick()
                     global_step += 1
                     if global_step % cfg.log_every == 0:
@@ -204,6 +225,11 @@ class Trainer:
                         host["steps_per_sec"] = timer.steps_per_sec
                         host["epoch"] = epoch
                         self.metrics.log(host, global_step)
+                if micro_buffer:
+                    # flush a trailing partial accumulation window
+                    state, metrics = train_step(state, stacked(micro_buffer), rng)
+                    micro_buffer = []
+                    global_step += 1
                 if (epoch + 1) % cfg.eval_per_epoch == 0 and self.val_dataset is not None:
                     scores = self._run_validation(eval_step, state.params)
                     self.metrics.log(scores, global_step)
