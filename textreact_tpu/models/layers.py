@@ -101,7 +101,7 @@ def _flash_attention(q: Array, k: Array, v: Array,
     exactly the additive-bias path's key-masking semantics (mask_to_bias
     masks keys only)."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention)
+        BlockSizes, SegmentIds, flash_attention)
     qt = q.transpose(0, 2, 1, 3)   # (B, H, L, D)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
@@ -110,8 +110,18 @@ def _flash_attention(q: Array, k: Array, v: Array,
         seg_q = jnp.zeros(q.shape[:2], jnp.int32)
         seg_kv = 1 - mask_kv.astype(jnp.int32)
         segment_ids = SegmentIds(q=seg_q, kv=seg_kv)
+    # default blocks (128) leave the MXU underutilized at head_dim 64;
+    # full-length blocks fit VMEM comfortably at L<=512
+    bq = min(512, qt.shape[2])
+    bk = min(512, kt.shape[2])
+    block_sizes = BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+    )
     out = flash_attention(qt, kt, vt, segment_ids=segment_ids, causal=causal,
-                          sm_scale=sm_scale)
+                          sm_scale=sm_scale, block_sizes=block_sizes)
     return out.transpose(0, 2, 1, 3)
 
 
