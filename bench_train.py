@@ -22,9 +22,11 @@ def main():
     from textreact_tpu.train.step import TrainState, make_train_step
 
     B, L, Ld = 32, 512, 16
-    module = EncoderDecoder(encoder_config=SCIBERT_BASE,
-                            decoder_config=BERT_L6_DECODER.replace(vocab_size=315),
-                            dtype=jnp.bfloat16, mlm_layer="mlp")
+    module = EncoderDecoder(
+        encoder_config=SCIBERT_BASE.replace(attention_impl="flash"),
+        decoder_config=BERT_L6_DECODER.replace(vocab_size=315,
+                                               attention_impl="flash"),
+        dtype=jnp.bfloat16, mlm_layer="mlp")
     cfg = ExperimentConfig(task="condition", mlm=True, mlm_lambda=0.1,
                            compute_dtype="bfloat16")
     rng = np.random.default_rng(0)
@@ -61,7 +63,7 @@ def main():
     print(json.dumps({
         "metric": "train_examples_per_sec_rcr_flagship",
         "value": round(B / dt, 1),
-        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16, 1 chip)",
+        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16+flash, 1 chip)",
         "vs_baseline": None,
     }))
 
