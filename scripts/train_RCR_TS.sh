@@ -35,3 +35,4 @@ python -m textreact_tpu.cli.main \
     --do_train --do_valid --do_test \
     --num_beams 15 \
     --compute_dtype bfloat16
+# add: --attention_impl flash   (1.5x faster training; drops attention-prob dropout)
