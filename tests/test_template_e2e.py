@@ -113,3 +113,54 @@ def test_template_based_end_to_end(tmp_path):
     assert len(first["prediction"]) == len(first["score"])
     # scores descending
     assert all(a >= b for a, b in zip(first["score"], first["score"][1:]))
+
+
+@pytest.mark.slow
+def test_template_rule_is_learned(tmp_path):
+    """Deterministic product->edit rule: atom 0 edited with a class that is
+    a function of the molecule — template top-1 val accuracy must approach 1."""
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    rng = random.Random(0)
+    prods = ["CCO", "CCN", "CCC", "COC"]
+    pd.DataFrame({"Template": [f"[T{i}]>>[U{i}]" for i in range(4)],
+                  "Frequency": [10] * 4, "Class": [1, 2, 3, 4]}).to_csv(
+        os.path.join(root, "atom_templates.csv"), index=False)
+    pd.DataFrame({"Template": ["[B0]>>[V0]"], "Frequency": [5],
+                  "Class": [1]}).to_csv(
+        os.path.join(root, "bond_templates.csv"), index=False)
+    for split, n in [("train", 64), ("val", 16), ("test", 8)]:
+        rows, labels, a2c, bonds = [], [], [], []
+        for i in range(n):
+            prod = rng.choice(prods)
+            n_atoms = len(parse_smiles(prod).atoms)
+            rows.append({"id": f"T{split}{i}", "product_smiles": prod,
+                         "reactant_smiles": prod + ".O"})
+            labels.append([("a", 0, prods.index(prod) + 1)])  # the rule
+            a2c.append(list(range(n_atoms)))
+            bonds.append(_bonds(prod))
+        pd.DataFrame(rows).to_csv(os.path.join(root, f"{split}.csv"), index=False)
+        pd.DataFrame({"Labels": [repr(l) for l in labels],
+                      "ProductAtomIdx2CanonIdx": [repr(x) for x in a2c],
+                      "ProductCanonBonds": [repr(b) for b in bonds]}).to_csv(
+            os.path.join(root, f"preprocessed_{split}.csv"), index=False)
+    with open(os.path.join(root, "enc.json"), "w") as f:
+        json.dump(dict(TINY_ENC, hidden_size=64, intermediate_size=128), f)
+
+    cfg = ExperimentConfig(
+        task="retro", template_based=True, do_train=True,
+        data_path=root, template_path=root,
+        train_file="train.csv", valid_file="val.csv", test_file="test.csv",
+        encoder=os.path.join(root, "enc.json"), encoder_tokenizer="smiles",
+        num_neighbors=-1, max_length=64, batch_size=16, epochs=40, lr=3e-3,
+        eval_per_epoch=10, save_path=os.path.join(root, "out"),
+        compute_dtype="float32", dp_size=1, log_every=8,
+        length_buckets=(64,), debug=True,
+    ).validate()
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    trainer.fit()
+    with open(os.path.join(cfg.save_path, "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    accs = [r["val_acc"] for r in records if "val_acc" in r]
+    assert accs and max(accs) >= 0.9, accs
