@@ -115,3 +115,13 @@ def test_gradient_accumulation(workdir):
     assert losses and all(np.isfinite(l) for l in losses)
     # 24 examples / batch 8 = 3 loader batches -> 1 full accum step + 1 flush
     assert int(trainer._state.step) == 2
+
+
+@pytest.mark.slow
+def test_mlm_loss_decreases(workdir):
+    """The auxiliary MLM objective itself must improve during training."""
+    with open(os.path.join(workdir, "out", "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    mlm = [r["mlm_loss"] for r in records if "mlm_loss" in r]
+    assert len(mlm) >= 4
+    assert np.mean(mlm[-2:]) < np.mean(mlm[:2]), mlm
