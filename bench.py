@@ -50,17 +50,21 @@ def main():
     assert np.array_equal(got_vals, ref_vals), "distance parity FAILED"
 
     # --- CPU exact baseline (faiss-flat equivalent: GEMM + top-k) ---
+    # best-of-3 so OS noise on the shared host can only make the reported
+    # speedup ratio conservative
     mb = 64
     qf = queries[:mb].astype(np.float32)
     cf = corpus.astype(np.float32)
     cn = (cf * cf).sum(1)
-    t0 = time.perf_counter()
-    d2 = (qf * qf).sum(1)[:, None] - 2.0 * (qf @ cf.T) + cn[None, :]
-    part = np.argpartition(d2, K, axis=1)[:, :K]
-    pv = np.take_along_axis(d2, part, axis=1)
-    order = np.argsort(pv, axis=1, kind="stable")
-    _ = np.take_along_axis(part, order, axis=1)
-    cpu_dt = time.perf_counter() - t0
+    cpu_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d2 = (qf * qf).sum(1)[:, None] - 2.0 * (qf @ cf.T) + cn[None, :]
+        part = np.argpartition(d2, K, axis=1)[:, :K]
+        pv = np.take_along_axis(d2, part, axis=1)
+        order = np.argsort(pv, axis=1, kind="stable")
+        _ = np.take_along_axis(part, order, axis=1)
+        cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_qps = mb / cpu_dt
 
     out = {
