@@ -87,7 +87,7 @@ class ExperimentConfig:
     # --- TPU-native extras (no reference equivalent) ---
     dp_size: int = -1                   # -1: all devices on the dp axis
     tp_size: int = 1                    # tensor-parallel axis size
-    param_dtype: str = "float32"
+    param_dtype: str = "float32"     # reserved: params are kept float32
     compute_dtype: str = "bfloat16"
     length_buckets: Tuple[int, ...] = (64, 128, 256, 384, 512)
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
