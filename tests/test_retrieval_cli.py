@@ -65,3 +65,21 @@ def test_convert_tevatron(tmp_path):
     with open(outp) as f:
         out = json.load(f)
     assert out == [{"id": "q1", "nn": ["a", "b"]}, {"id": "q2", "nn": ["c"]}]
+
+
+def test_debug_cli_bruteforce(tmp_path):
+    from textreact_tpu.retrieval.debug_cli import main as debug_main
+    import pandas as pd
+    train = pd.DataFrame({"canonical_rxn": ["CCO>>CCN", "CC>>CO", "CCC>>CCO"]})
+    test = pd.DataFrame({"canonical_rxn": ["CCO>>CCN", "CC>>CN"]})
+    train.to_csv(tmp_path / "train.csv", index=False)
+    test.to_csv(tmp_path / "test.csv", index=False)
+    out = tmp_path / "nn.json"
+    debug_main(["--train_file", str(tmp_path / "train.csv"),
+                "--test_file", str(tmp_path / "test.csv"),
+                "--output", str(out), "--limit", "2", "--top", "3"])
+    data = json.loads(out.read_text())
+    assert set(data.keys()) == {"0", "1"}
+    # identical reaction ranks itself first with similarity 1.0
+    assert data["0"]["rank"][0] == 0
+    assert data["0"]["similarity"][0] == 1.0

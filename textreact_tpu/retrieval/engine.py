@@ -38,7 +38,7 @@ class FlatIndex:
     """Exact (flat) L2 index over int8 fingerprint vectors."""
 
     def __init__(self, corpus_fps: np.ndarray, mesh: Optional[Mesh] = None,
-                 tile_q: int = 128, tile_c: int = 1024,
+                 tile_q: int = 128, tile_c: int = 2048,
                  interpret: Optional[bool] = None,
                  corpus_resident: bool = False):
         assert corpus_fps.dtype == np.int8, corpus_fps.dtype
