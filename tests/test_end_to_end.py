@@ -125,3 +125,16 @@ def test_mlm_loss_decreases(workdir):
     mlm = [r["mlm_loss"] for r in records if "mlm_loss" in r]
     assert len(mlm) >= 4
     assert np.mean(mlm[-2:]) < np.mean(mlm[:2]), mlm
+
+
+@pytest.mark.slow
+def test_validate_only_mode(workdir):
+    """--do_valid without --do_train: loads best.ckpt and reports both
+    corpus variants (reference main.py:402-408)."""
+    cfg = _cfg(workdir, do_train=False, do_valid=True, do_test=False)
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    scores = trainer.validate()
+    assert set(scores.keys()) == {"val_acc", "val_acc/1"}
+    for v in scores.values():
+        assert 0.0 <= v <= 1.0
