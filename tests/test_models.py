@@ -175,3 +175,23 @@ def test_template_model():
             np.testing.assert_allclose(np.asarray(bond_logits)[b, m],
                                        left[b, i] + right[b, j],
                                        rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_interpret_mode_matches_xla():
+    """Flash path runs under pallas interpret mode on CPU and matches the
+    XLA path on real (non-padded) positions."""
+    from jax.experimental.pallas import tpu as pltpu
+    cfg_x = TINY_ENC.replace(hidden_size=32, max_position_embeddings=128)
+    cfg_f = cfg_x.replace(attention_impl="flash")
+    from textreact_tpu.models import Encoder
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 64, (2, 128)), jnp.int32)
+    mask = jnp.ones((2, 128), jnp.int32).at[:, 100:].set(0)
+    enc_x = Encoder(cfg_x, dtype=jnp.float32)
+    enc_f = Encoder(cfg_f, dtype=jnp.float32)
+    params = enc_x.init(jax.random.PRNGKey(0), ids, attention_mask=mask)
+    out_x = np.asarray(enc_x.apply(params, ids, attention_mask=mask))
+    with pltpu.force_tpu_interpret_mode():
+        out_f = np.asarray(enc_f.apply(params, ids, attention_mask=mask))
+    np.testing.assert_allclose(out_x[:, :100], out_f[:, :100],
+                               rtol=5e-3, atol=5e-3)
