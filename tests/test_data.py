@@ -214,3 +214,26 @@ def test_loader_multiprocess_matches_serial(cond_root):
         for key in b1.arrays:
             assert np.array_equal(b1.arrays[key], b2.arrays[key]), key
         assert b1.host["ids"] == b2.host["ids"]
+
+
+def test_bucketing_bounds_compilation_shapes(cond_root):
+    """Across many batches the collator must emit at most
+    len(length_buckets) x len(dec_length_buckets) distinct array shapes —
+    the property that bounds XLA recompilation."""
+    cfg = _cfg(cond_root, max_length=128, length_buckets=(64, 96, 128),
+               dec_length_buckets=(8, 16))
+    enc_tok, dec_tok = _tokenizers(cfg)
+    ds = ConditionDataset(cfg, os.path.join(cond_root, "train.csv"),
+                          enc_tok, dec_tok, split="train")
+    ds.load_corpus(read_corpus(cfg.corpus_file),
+                   os.path.join(cond_root, "train_nn.json"))
+    coll = Collator(cfg, enc_tok.pad_token_id, dec_tok.pad_token_id)
+    dl = DataLoader(ds, coll, batch_size=3, shuffle=True, seed=0)
+    shapes = set()
+    for epoch in range(4):
+        dl.set_epoch(epoch)
+        for b in dl:
+            shapes.add((b.arrays["input_ids"].shape,
+                        b.arrays["decoder_input_ids"].shape))
+            assert b.arrays["input_ids"].shape[1] in cfg.length_buckets
+    assert len(shapes) <= len(cfg.length_buckets) * len(cfg.dec_length_buckets)

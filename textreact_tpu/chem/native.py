@@ -20,7 +20,9 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cchem.cpp")
-_LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cchem.so")
+# plain shared object loaded via ctypes; named libcchem so the python
+# import system never mistakes it for a CPython extension module
+_LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcchem.so")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
