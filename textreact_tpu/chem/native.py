@@ -22,7 +22,7 @@ log = logging.getLogger(__name__)
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cchem.cpp")
 # plain shared object loaded via ctypes; named libcchem so the python
 # import system never mistakes it for a CPython extension module
-_LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcchem.so")
+_LIB = os.path.join(os.path.dirname(os.path.abspath(__file__)), "libcchem.so.1")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _build_failed = False
