@@ -237,3 +237,24 @@ def test_bucketing_bounds_compilation_shapes(cond_root):
                         b.arrays["decoder_input_ids"].shape))
             assert b.arrays["input_ids"].shape[1] in cfg.length_buckets
     assert len(shapes) <= len(cfg.length_buckets) * len(cfg.dec_length_buckets)
+
+
+def test_process_sharded_loader_partitions(cond_root):
+    cfg = _cfg(cond_root)
+    enc_tok, dec_tok = _tokenizers(cfg)
+    ds = ConditionDataset(cfg, os.path.join(cond_root, "train.csv"),
+                          enc_tok, dec_tok, split="train")
+    ds.load_corpus(read_corpus(cfg.corpus_file),
+                   os.path.join(cond_root, "train_nn.json"))
+    coll = Collator(cfg, enc_tok.pad_token_id, dec_tok.pad_token_id)
+    seen = []
+    for pi in range(3):
+        dl = DataLoader(ds, coll, batch_size=4, shuffle=True, seed=5)
+        dl.shard_across_processes(pi, 3)
+        dl.set_epoch(1)
+        for b in dl:
+            mask = b.arrays["example_mask"].astype(bool)
+            seen.append(set(b.arrays["indices"][mask].tolist()))
+    union = set().union(*seen)
+    assert union == set(range(len(ds)))              # covers everything
+    assert sum(len(s) for s in seen) == len(ds)      # no overlaps

@@ -41,7 +41,16 @@ class DataLoader:
         # >0: build+collate batches in forked worker processes (role of the
         # reference's torch DataLoader num_workers=8, main.py:325-328)
         self.num_workers = num_workers
+        # multi-process (multi-host) data sharding: each process iterates a
+        # disjoint stride of the index space (role of DistributedSampler)
+        self.process_index = 0
+        self.process_count = 1
         self.epoch = 0
+
+    def shard_across_processes(self, process_index: int, process_count: int) -> "DataLoader":
+        self.process_index = process_index
+        self.process_count = process_count
+        return self
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -55,7 +64,11 @@ class DataLoader:
     def _order(self) -> List[int]:
         order = list(range(len(self.dataset)))
         if self.shuffle:
+            # identical permutation on every process (same seed), then a
+            # disjoint stride per process
             _random.Random(self.seed * 7_368_787 + self.epoch).shuffle(order)
+        if self.process_count > 1:
+            order = order[self.process_index::self.process_count]
         return order
 
     def _build(self, batch_indices: List[int]) -> Batch:

@@ -32,6 +32,23 @@ def is_primary() -> bool:
     return jax.process_index() == 0
 
 
+def device_put_global(batch: Dict[str, np.ndarray], sharding) -> Dict[str, "jax.Array"]:
+    """Place a host batch onto a (possibly multi-host) mesh.
+
+    Single-process: plain device_put. Multi-process: each host holds its own
+    slice of the global batch (process-sharded loader) and the slices are
+    assembled into global arrays over DCN via multihost_utils — the
+    replacement for DDP's per-rank DataLoader+allreduce topology."""
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    from jax.experimental import multihost_utils
+    return {
+        k: multihost_utils.host_local_array_to_global_array(
+            v, sharding.mesh, sharding.spec)
+        for k, v in batch.items()
+    }
+
+
 def gather_score_dict(local: Dict[int, float]) -> Dict[int, float]:
     """Union per-example {index: score} dicts across processes.
 

@@ -113,8 +113,16 @@ class Trainer:
         # steps; the loader's fork-pool mode (num_workers>1) is for offline
         # use — forking after the TPU runtime initializes is unsafe
         kw = dict(collator=self.collator, batch_size=bs, seed=cfg.seed)
+        if jax.process_count() > 1:
+            # per-process loader shard; each host feeds its local batch slice
+            bs = bs // jax.process_count()
+            kw["batch_size"] = bs
         if not eval_mode:
-            return [DataLoader(dataset, shuffle=True, **kw)]
+            loader = DataLoader(dataset, shuffle=True, **kw)
+            if jax.process_count() > 1:
+                loader.shard_across_processes(jax.process_index(),
+                                              jax.process_count())
+            return [loader]
         loaders = [DataLoader(dataset, shuffle=False, augment=False, **kw)]
         if cfg.corpus_file:
             # dual-corpus eval: full + gold-removed (main.py:330-340)
@@ -156,8 +164,8 @@ class Trainer:
         return steps_per_epoch * cfg.epochs
 
     def _device_batch(self, batch: Batch) -> Dict[str, jax.Array]:
-        return {k: jax.device_put(v, self.batch_sharding)
-                for k, v in batch.arrays.items()}
+        from ..parallel.multihost import device_put_global
+        return device_put_global(batch.arrays, self.batch_sharding)
 
     # ------------------------------------------------------------------
     # fit (reference main.py:386-397)
