@@ -125,3 +125,37 @@ def test_zero1_matches_replicated():
         # two steps chain fine with sharded moments
         new_state, metrics = step(new_state, dbatch, jax.random.PRNGKey(2))
         assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_zero1_checkpoint_roundtrip(tmp_path):
+    """ZeRO-1-sharded optimizer state survives an orbax save/restore with
+    its dp shardings reattached."""
+    from textreact_tpu.parallel.sharding import zero1_opt_state
+    from textreact_tpu.train.checkpoint import CheckpointManager
+    module = EncoderDecoder(encoder_config=ENC, decoder_config=DEC,
+                            dtype=jnp.float32)
+    cfg = ExperimentConfig(task="condition", compute_dtype="float32")
+    batch_ids = jnp.ones((4, 8), jnp.int32)
+    params = module.init(jax.random.PRNGKey(0),
+                         input_ids=batch_ids,
+                         attention_mask=jnp.ones((4, 8), jnp.int32),
+                         decoder_input_ids=batch_ids,
+                         decoder_attention_mask=jnp.ones((4, 8), jnp.int32))
+    mesh = make_mesh(4, 1)
+    with mesh:
+        tx = make_optimizer(cfg, 10)
+        state = ensure_mesh_placement(
+            mesh, TrainState.create(shard_params(mesh, params), tx))
+        state = state.replace(opt_state=zero1_opt_state(mesh, state.opt_state))
+        mgr = CheckpointManager(str(tmp_path), "val_acc")
+        mgr.save("best", state, {"epoch": 3})
+        restored, meta = mgr.restore("best", state)
+        assert meta["epoch"] == 3
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # shardings preserved on restore
+        for a, b in zip(jax.tree.leaves(state.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            if hasattr(a, "sharding"):
+                assert a.sharding == b.sharding, (a.sharding, b.sharding)
