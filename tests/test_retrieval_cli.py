@@ -83,3 +83,18 @@ def test_debug_cli_bruteforce(tmp_path):
     # identical reaction ranks itself first with similarity 1.0
     assert data["0"]["rank"][0] == 0
     assert data["0"]["similarity"][0] == 1.0
+
+
+def test_condition_retrieval_cli_sharded(tmp_path):
+    """--shard_corpus path over the fake 8-device mesh."""
+    root = make_condition_data(str(tmp_path / "data"))
+    out = str(tmp_path / "out")
+    retrieval_main([
+        "--data_path", root, "--train_file", "train.csv",
+        "--valid_file", "val.csv", "--test_file", "test.csv",
+        "--field", "canonical_rxn", "--output_path", out,
+        "--k", "5", "--check_parity", "--shard_corpus",
+    ])
+    with open(os.path.join(out, "test.json")) as f:
+        nn = json.load(f)
+    assert all(len(r["nn"]) == 5 for r in nn)

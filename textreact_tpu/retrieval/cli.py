@@ -42,6 +42,8 @@ def get_args(argv: Optional[List[str]] = None):
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--check_parity", action="store_true",
                    help="verify kernel results against the numpy oracle")
+    p.add_argument("--shard_corpus", action="store_true",
+                   help="shard the corpus over all local devices (1-D mesh)")
     return p.parse_args(argv)
 
 
@@ -99,7 +101,15 @@ def main(argv: Optional[List[str]] = None) -> None:
         np.save(fp_cache, train_fps)
 
     log.info("building TPU flat index over %s", train_fps.shape)
-    index = FlatIndex(train_fps)
+    mesh = None
+    if args.shard_corpus:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+        from .engine import CORPUS_AXIS
+        mesh = Mesh(_np.array(jax.devices()), (CORPUS_AXIS,))
+        log.info("corpus sharded over %d devices", len(jax.devices()))
+    index = FlatIndex(train_fps, mesh=mesh)
     train_ids = list(train_df["id"])
 
     rank = None
