@@ -1,0 +1,42 @@
+"""CheckpointManager best/last policy semantics (reference ModelCheckpoint
+monitor/save_top_k=1/save_last, main.py:358-360)."""
+
+import jax.numpy as jnp
+import pytest
+
+from textreact_tpu.train.checkpoint import CheckpointManager
+
+
+def _state(v):
+    return {"w": jnp.full((4,), float(v))}
+
+
+def test_val_acc_mode_keeps_max(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "val_acc")
+    best = mgr.save_eval(_state(1), 0.5, None, epoch=0)
+    assert best == 0.5
+    best = mgr.save_eval(_state(2), 0.4, best, epoch=1)   # worse: best kept
+    assert best == 0.5
+    best = mgr.save_eval(_state(3), 0.7, best, epoch=2)   # better: replaced
+    assert best == 0.7
+    restored, meta = mgr.restore("best", _state(0))
+    assert float(restored["w"][0]) == 3.0
+    assert meta["epoch"] == 2 and meta["val_acc"] == 0.7
+    # 'last' always tracks the most recent eval
+    last, last_meta = mgr.restore("last", _state(0))
+    assert last_meta["epoch"] == 2
+
+
+def test_val_loss_mode_keeps_min(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "val_loss")
+    assert mgr.is_improvement(1.0, None)
+    assert mgr.is_improvement(0.5, 1.0)
+    assert not mgr.is_improvement(2.0, 1.0)
+
+
+def test_clear_removes_checkpoints(tmp_path):
+    mgr = CheckpointManager(str(tmp_path), "val_acc")
+    mgr.save("best", _state(1), {"epoch": 0})
+    assert mgr.exists("best")
+    mgr.clear()
+    assert not mgr.exists("best")
