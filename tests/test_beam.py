@@ -81,6 +81,28 @@ def test_no_eos_fills_from_live_beams():
     assert (np.asarray(seqs)[0, :, 1:] != EOS).all()
 
 
+def test_eos_beyond_num_beams_is_dropped():
+    """HF semantics: an EOS candidate ranked >= num_beams among the 2K
+    candidates never enters the finished pool, even if its score would beat
+    the eventual survivors (transformers BeamSearchScorer.process skips it)."""
+    table = np.full((4, V), -100.0)
+    # step 0: EOS is the 3rd-best candidate (rank 2 >= K=2) but with a score
+    # far better than any continued path
+    table[0, 3] = 0.1
+    table[0, 4] = 0.0
+    table[0, EOS] = -0.1
+    # later steps: all non-EOS tokens equally likely, EOS impossible
+    table[1:, 3] = table[1:, 4] = table[1:, 5] = table[1:, 0] = 0.0
+    seqs, scores = beam_search(_static_step(table), {}, batch_size=1,
+                               num_beams=2, max_length=4, bos_token_id=BOS,
+                               eos_token_id=EOS, pad_token_id=PAD)
+    seqs = np.asarray(seqs)[0]
+    scores = np.asarray(scores)[0]
+    # the dropped immediate-EOS path would score ~-1.2; survivors ~-4.2
+    assert (seqs[:, 1] != EOS).all(), seqs
+    assert scores[0] < -2.0, scores
+
+
 def test_batch_independence():
     rng = np.random.default_rng(0)
     table = rng.normal(size=(4, V)).astype(np.float32)

@@ -114,11 +114,16 @@ def test_mlm_head_prefix():
     assert out["mlm_logits"].shape == (2, 4, TINY_ENC.vocab_size)
 
 
-def test_decode_cache_matches_full_decoder(encdec):
+@pytest.mark.parametrize("seed", [0, 7])
+def test_decode_cache_matches_full_decoder(seed):
     """Incremental decoding with KV cache must reproduce teacher-forced
-    logits step by step."""
-    model, params = encdec
+    logits step by step — with params from a NON-zero seed too, so a cache
+    built from freshly-initialized projections (the init() bug) cannot pass
+    by coincidence."""
+    model = EncoderDecoder(encoder_config=TINY_ENC, decoder_config=TINY_DEC,
+                           dtype=jnp.float32)
     batch = _batch()
+    params = model.init(jax.random.PRNGKey(seed), **batch)
     full = model.apply(params, **batch)["logits"]  # (B, Ld, V)
 
     step_model = DecoderStep(decoder_config=TINY_DEC, dtype=jnp.float32)
@@ -126,9 +131,12 @@ def test_decode_cache_matches_full_decoder(encdec):
                       input_ids=batch["input_ids"],
                       attention_mask=batch["attention_mask"])
     step_params = {"params": {"decoder": params["params"]["decoder"]}}
-    cache = step_model.init(
-        jax.random.PRNGKey(0), batch["decoder_input_ids"][:, :1], enc,
-        batch["attention_mask"], 0)["cache"]
+    # build the cache by applying the REAL params (predictor.py does the
+    # same): cached_cross_key/value are computed from the trained kernels
+    _, cache_vars = step_model.apply(
+        step_params, batch["decoder_input_ids"][:, :1], enc,
+        batch["attention_mask"], 0, mutable=["cache"])
+    cache = cache_vars["cache"]
     Ld = batch["decoder_input_ids"].shape[1]
     for t in range(Ld):
         tok = batch["decoder_input_ids"][:, t:t + 1]
@@ -142,6 +150,31 @@ def test_decode_cache_matches_full_decoder(encdec):
         np.testing.assert_allclose(np.asarray(logits[:, 0]),
                                    np.asarray(full[:, t]),
                                    rtol=2e-2, atol=2e-3)
+
+
+def test_decode_cache_from_init_diverges():
+    """Regression guard for the predictor cache bug: a cache created with
+    step_model.init (fresh kernels) must NOT reproduce the trained decoder's
+    cross-attention — if it does, the parity test above lost its teeth."""
+    model = EncoderDecoder(encoder_config=TINY_ENC, decoder_config=TINY_DEC,
+                           dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(7), **batch)
+    full = model.apply(params, **batch)["logits"]
+    step_model = DecoderStep(decoder_config=TINY_DEC, dtype=jnp.float32)
+    enc = model.apply(params, method="encode",
+                      input_ids=batch["input_ids"],
+                      attention_mask=batch["attention_mask"])
+    step_params = {"params": {"decoder": params["params"]["decoder"]}}
+    bad_cache = step_model.init(
+        jax.random.PRNGKey(0), batch["decoder_input_ids"][:, :1], enc,
+        batch["attention_mask"], 0)["cache"]
+    logits, _ = step_model.apply(
+        {**step_params, "cache": bad_cache},
+        batch["decoder_input_ids"][:, :1], enc,
+        batch["attention_mask"], 0, mutable=["cache"])
+    assert not np.allclose(np.asarray(logits[:, 0]), np.asarray(full[:, 0]),
+                           rtol=2e-2, atol=2e-3)
 
 
 def test_template_model():

@@ -107,10 +107,16 @@ def beam_search(
         cache = _gather_beams(cache, live_beam_sel, B, K)
 
         # --- finished pool: merge eos candidates ---
-        fin_cand_scores = jnp.where(is_eos, topv, NEG_INF)
+        # HF semantics: only EOS candidates ranked < num_beams among the 2K
+        # (score-sorted) candidates enter the finished pool
+        # (transformers BeamSearchScorer.process: beam_token_rank >= group_size
+        # -> skip); lower-ranked EOS candidates are dropped entirely.
+        rank = jnp.arange(2 * K)[None, :]
+        eos_kept = is_eos & (rank < K)
+        fin_cand_scores = jnp.where(eos_kept, topv, NEG_INF)
         all_scores = jnp.concatenate([fin_scores, fin_cand_scores], axis=1)
         all_flags = jnp.concatenate(
-            [fin_flags, is_eos], axis=1)
+            [fin_flags, eos_kept], axis=1)
         all_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
         new_fin_scores, fin_sel = jax.lax.top_k(all_scores, K)
         new_fin_seqs = jnp.take_along_axis(all_seqs, fin_sel[:, :, None], axis=1)

@@ -48,8 +48,15 @@ class Generator:
             step_params = {"params": {"decoder": params["params"]["decoder"]}}
 
             dummy = jnp.zeros((B * K, 1), dtype=jnp.int32)
-            cache = step_model.init(jax.random.PRNGKey(0), dummy, enc,
-                                    enc_mask, 0)["cache"]
+            # Build the cache by APPLYING the real decoder params (mutable
+            # cache), not by init(): cached_cross_key/value are computed by
+            # an init-once lambda from the key/value Dense kernels
+            # (models/layers.py cross-decode path), so an init() here would
+            # bake in freshly-initialized projections and generation would
+            # silently ignore the trained cross-attention weights.
+            _, cache_vars = step_model.apply(step_params, dummy, enc,
+                                             enc_mask, 0, mutable=["cache"])
+            cache = cache_vars["cache"]
 
             def step_fn(cache, tokens, pos):
                 logits, vars_out = step_model.apply(
