@@ -257,4 +257,34 @@ def test_process_sharded_loader_partitions(cond_root):
             seen.append(set(b.arrays["indices"][mask].tolist()))
     union = set().union(*seen)
     assert union == set(range(len(ds)))              # covers everything
-    assert sum(len(s) for s in seen) == len(ds)      # no overlaps
+    assert sum(len(s) for s in seen) == len(ds)      # no overlaps (24 % 3 == 0)
+
+
+def test_process_sharded_loader_equal_batch_counts(cond_root):
+    """When the dataset size isn't divisible by process_count, shards pad by
+    wrapping around (DistributedSampler semantics) so every process yields
+    the SAME number of batches — unequal counts would hang the collective in
+    one host's extra jitted step (ADVICE r1)."""
+    cfg = _cfg(cond_root)
+    enc_tok, dec_tok = _tokenizers(cfg)
+    ds = ConditionDataset(cfg, os.path.join(cond_root, "val.csv"),
+                          enc_tok, dec_tok, split="val")
+    ds.load_corpus(read_corpus(cfg.corpus_file),
+                   os.path.join(cond_root, "val_nn.json"))
+    coll = Collator(cfg, enc_tok.pad_token_id, dec_tok.pad_token_id)
+    assert len(ds) == 8  # 8 examples over 3 processes -> pad to 9
+    counts, seen = [], []
+    for pi in range(3):
+        dl = DataLoader(ds, coll, batch_size=2, shuffle=True, seed=5,
+                        augment=False)
+        dl.shard_across_processes(pi, 3)
+        dl.set_epoch(0)
+        batches = list(dl)
+        counts.append(len(batches))
+        assert len(batches) == len(dl)
+        for b in batches:
+            mask = b.arrays["example_mask"].astype(bool)
+            seen.extend(b.arrays["indices"][mask].tolist())
+    assert counts == [2, 2, 2], counts               # equal per process
+    assert set(seen) == set(range(len(ds)))          # full coverage
+    assert len(seen) == 9                            # exactly one wrapped dup

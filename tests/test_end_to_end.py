@@ -115,6 +115,32 @@ def test_gradient_accumulation(workdir):
     assert losses and all(np.isfinite(l) for l in losses)
     # 24 examples / batch 8 = 3 loader batches -> 1 full accum step + 1 flush
     assert int(trainer._state.step) == 2
+    # compilations == distinct shape groups; the weight-0-padded trailing
+    # flush must reuse a full window's compiled graph
+    assert trainer._train_step_fn._cache_size() == trainer._accum_group_count
+
+
+@pytest.mark.slow
+def test_gradient_accumulation_multi_bucket(workdir):
+    """Accumulation with several length buckets: microbatches land in
+    different shape groups (the r1 jnp.stack crash scenario) and partial
+    groups flush at epoch end."""
+    cfg = _cfg(workdir, epochs=1, do_test=False,
+               save_path=os.path.join(workdir, "out_accum_mb"),
+               gradient_accumulation_steps=2, overwrite=True, batch_size=4,
+               length_buckets=(16, 32, 48, 64), dec_length_buckets=(8, 16))
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    trainer.fit()
+    with open(os.path.join(cfg.save_path, "metrics.jsonl")) as f:
+        records = [json.loads(l) for l in f]
+    losses = [r["train_loss"] for r in records if "train_loss" in r]
+    assert losses and all(np.isfinite(l) for l in losses)
+    # every loader batch was consumed: sum over shape groups of
+    # (full windows + one flush for a partial group) == total steps
+    assert int(trainer._state.step) >= 3  # 6 loader batches, accum 2
+    # compilations == number of distinct shape groups, not flushes
+    assert trainer._train_step_fn._cache_size() == trainer._accum_group_count
 
 
 @pytest.mark.slow

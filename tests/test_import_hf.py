@@ -19,7 +19,7 @@ CFG = TransformerConfig(vocab_size=50, hidden_size=16, num_hidden_layers=2,
 
 
 def _fake_hf_checkpoint(tmpdir, vocab=40, hidden=16, layers=2, ffn=32,
-                        max_pos=12):
+                        max_pos=12, with_mlm_head=False):
     g = torch.Generator().manual_seed(0)
     sd = {
         "bert.embeddings.word_embeddings.weight": torch.randn(vocab, hidden, generator=g),
@@ -28,6 +28,12 @@ def _fake_hf_checkpoint(tmpdir, vocab=40, hidden=16, layers=2, ffn=32,
         "bert.embeddings.LayerNorm.weight": torch.ones(hidden),
         "bert.embeddings.LayerNorm.bias": torch.zeros(hidden),
     }
+    if with_mlm_head:
+        sd["cls.predictions.transform.dense.weight"] = torch.randn(hidden, hidden, generator=g)
+        sd["cls.predictions.transform.dense.bias"] = torch.randn(hidden, generator=g)
+        sd["cls.predictions.transform.LayerNorm.weight"] = torch.ones(hidden)
+        sd["cls.predictions.transform.LayerNorm.bias"] = torch.zeros(hidden)
+        sd["cls.predictions.bias"] = torch.randn(vocab, generator=g)
     for i in range(layers):
         base = f"bert.encoder.layer.{i}"
         for name, shape in [
@@ -80,3 +86,51 @@ def test_import_and_expansion(tmp_path):
     out2 = encoder.apply({"params": out["params"]["encoder"]["params"]}
                          if "params" in enc else {"params": enc}, **dummy)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_decoder_import(tmp_path):
+    """--decoder_pretrained: BERT weights land in the decoder's self-attn /
+    ffn / embeddings / lm_head; cross-attention keeps fresh init
+    (reference model.py:22-24 from_encoder_decoder_pretrained policy)."""
+    from textreact_tpu.models import Decoder
+    from textreact_tpu.models.import_hf import load_pretrained_decoder
+
+    sd = _fake_hf_checkpoint(str(tmp_path), with_mlm_head=True)
+    dec_cfg = CFG.replace(is_decoder=True, add_cross_attention=True)
+    decoder = Decoder(dec_cfg, dtype=jnp.float32)
+    enc_states = jnp.zeros((1, 8, 16), jnp.float32)
+    dummy_ids = jnp.zeros((1, 6), jnp.int32)
+    init = decoder.init(jax.random.PRNGKey(5), dummy_ids, enc_states)
+    params = {"params": {"decoder": init["params"]}}
+    before_cross = np.asarray(
+        init["params"]["layer_0"]["crossattention"]["query"]["kernel"])
+
+    out = load_pretrained_decoder(params, str(tmp_path), dec_cfg)
+    dec = out["params"]["decoder"]
+
+    word = np.asarray(dec["word_embedding"])
+    assert word.shape == (50, 16)
+    np.testing.assert_allclose(
+        word[:40], sd["bert.embeddings.word_embeddings.weight"].numpy(), rtol=1e-6)
+
+    q = np.asarray(dec["layer_0"]["attention"]["query"]["kernel"])
+    np.testing.assert_allclose(
+        q, sd["bert.encoder.layer.0.attention.self.query.weight"].numpy().T,
+        rtol=1e-6)
+
+    # cross-attention untouched (BERT has none)
+    np.testing.assert_allclose(
+        np.asarray(dec["layer_0"]["crossattention"]["query"]["kernel"]),
+        before_cross, rtol=0)
+
+    # lm_head transform imported; tied-vocab bias row-copied
+    tr = np.asarray(dec["lm_head"]["transform"]["kernel"])
+    np.testing.assert_allclose(
+        tr, sd["cls.predictions.transform.dense.weight"].numpy().T, rtol=1e-6)
+    bias = np.asarray(dec["lm_head"]["bias"])
+    np.testing.assert_allclose(bias[:40], sd["cls.predictions.bias"].numpy(),
+                               rtol=1e-6)
+
+    # imported params actually run
+    logits = decoder.apply({"params": dec}, dummy_ids, enc_states)
+    assert np.isfinite(np.asarray(logits)).all()

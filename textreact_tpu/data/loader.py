@@ -57,6 +57,8 @@ class DataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        if self.process_count > 1:
+            n = -(-n // self.process_count)  # padded per-process shard
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -68,6 +70,12 @@ class DataLoader:
             # disjoint stride per process
             _random.Random(self.seed * 7_368_787 + self.epoch).shuffle(order)
         if self.process_count > 1:
+            # pad to a multiple of process_count by wrapping around (the
+            # reference's DistributedSampler semantics) so every process
+            # yields the SAME number of batches per epoch — otherwise one
+            # host would enter an extra jitted step's collectives and hang
+            total = -(-len(order) // self.process_count) * self.process_count
+            order = order + order[: total - len(order)]
             order = order[self.process_index::self.process_count]
         return order
 
@@ -122,6 +130,19 @@ class DataLoader:
         via fork (no per-task pickling of the DataFrame); each task builds
         and collates one batch; results stream back in order."""
         import multiprocessing as mp
+
+        # forking after an accelerator runtime initializes is unsafe (device
+        # threads/locks don't survive fork); this mode is for OFFLINE batch
+        # assembly. The virtual CPU backend used by tests is exempt.
+        from jax._src import xla_bridge
+        if xla_bridge.backends_are_initialized():
+            import jax
+            if jax.default_backend() != "cpu":
+                raise RuntimeError(
+                    "DataLoader(num_workers>1) forks worker processes, which "
+                    "is unsafe after the JAX accelerator runtime has "
+                    "initialized; use num_workers=0 (threaded prefetch) for "
+                    "on-device training or assemble batches offline.")
         ctx = mp.get_context("fork")
         with ctx.Pool(self.num_workers, initializer=_worker_init,
                       initargs=(self,)) as pool:

@@ -32,7 +32,9 @@ def _load_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:
 
 def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     if any(k.startswith("bert.") for k in sd):
-        return {k[len("bert."):]: v for k, v in sd.items() if k.startswith("bert.")}
+        # strip the base-model prefix; keep head keys (cls.*) unprefixed
+        return {(k[len("bert."):] if k.startswith("bert.") else k): v
+                for k, v in sd.items()}
     return sd
 
 
@@ -86,6 +88,75 @@ def encoder_params_from_hf(init_encoder: Dict[str, Any], ckpt_dir: str,
         layer["ffn"]["output"] = dense(f"{hf}.output.dense")
         layer["ffn_norm"] = norm(f"{hf}.output.LayerNorm")
     return p
+
+
+def decoder_params_from_hf(init_decoder: Dict[str, Any], ckpt_dir: str,
+                           config: TransformerConfig) -> Dict[str, Any]:
+    """Fill an initialized decoder param subtree from an HF BERT state dict
+    (reference --decoder_pretrained, model.py:22-24: the decoder half of
+    EncoderDecoderModel.from_encoder_decoder_pretrained). BERT has no
+    cross-attention, so crossattention/crossattention_norm keep their fresh
+    initialization — the same policy HF applies when grafting a BERT
+    checkpoint into a decoder."""
+    sd = _strip_prefix(_load_state_dict(ckpt_dir))
+    p = {k: dict(v) if isinstance(v, dict) else v
+         for k, v in jax_tree_to_dict(init_decoder).items()}
+
+    def dense(hf: str):
+        return {"kernel": sd[f"{hf}.weight"].T.astype(np.float32),
+                "bias": sd[f"{hf}.bias"].astype(np.float32)}
+
+    def norm(hf: str):
+        return {"scale": sd[f"{hf}.weight"].astype(np.float32),
+                "bias": sd[f"{hf}.bias"].astype(np.float32)}
+
+    # the decoder owns its word-embedding table (tied with the LM head)
+    p["word_embedding"] = _copy_rows(
+        p["word_embedding"], sd["embeddings.word_embeddings.weight"])
+    emb = p["embeddings"]
+    emb["position_embeddings"]["embedding"] = _copy_rows(
+        emb["position_embeddings"]["embedding"],
+        sd["embeddings.position_embeddings.weight"])
+    if "token_type_embeddings" in emb and \
+            "embeddings.token_type_embeddings.weight" in sd:
+        emb["token_type_embeddings"]["embedding"] = _copy_rows(
+            emb["token_type_embeddings"]["embedding"],
+            sd["embeddings.token_type_embeddings.weight"])
+    emb["layer_norm"] = norm("embeddings.LayerNorm")
+
+    for i in range(config.num_hidden_layers):
+        hf = f"encoder.layer.{i}"
+        layer = p[f"layer_{i}"]
+        attn = layer["attention"]
+        attn["query"] = dense(f"{hf}.attention.self.query")
+        attn["key"] = dense(f"{hf}.attention.self.key")
+        attn["value"] = dense(f"{hf}.attention.self.value")
+        attn["output"] = dense(f"{hf}.attention.output.dense")
+        layer["attention_norm"] = norm(f"{hf}.attention.output.LayerNorm")
+        layer["ffn"]["intermediate"] = dense(f"{hf}.intermediate.dense")
+        layer["ffn"]["output"] = dense(f"{hf}.output.dense")
+        layer["ffn_norm"] = norm(f"{hf}.output.LayerNorm")
+
+    # LM head transform from a MaskedLM checkpoint, when present; the vocab
+    # projection itself is tied to word_embedding (+ a bias vector)
+    if "cls.predictions.transform.dense.weight" in sd:
+        head = p["lm_head"]
+        head["transform"] = dense("cls.predictions.transform.dense")
+        head["transform_norm"] = norm("cls.predictions.transform.LayerNorm")
+        if "cls.predictions.bias" in sd:
+            head["bias"] = _copy_rows(head["bias"], sd["cls.predictions.bias"])
+    return p
+
+
+def load_pretrained_decoder(params: Dict[str, Any], ckpt_dir: str,
+                            config: TransformerConfig) -> Dict[str, Any]:
+    """Replace the 'decoder' subtree of a full model param tree."""
+    import jax
+
+    plain = jax_tree_to_dict(params)
+    plain["params"]["decoder"] = decoder_params_from_hf(
+        plain["params"]["decoder"], ckpt_dir, config)
+    return jax.tree.map(lambda x: x, plain)
 
 
 def jax_tree_to_dict(tree: Any) -> Any:

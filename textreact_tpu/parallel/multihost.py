@@ -49,6 +49,37 @@ def device_put_global(batch: Dict[str, np.ndarray], sharding) -> Dict[str, "jax.
     }
 
 
+def _pickle_allgather(obj):
+    """All-gather an arbitrary picklable object across processes as padded
+    uint8 arrays over DCN (the role of dist.all_gather_object,
+    reference main.py:259-268). Returns the list of every process's object."""
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    buf = np.frombuffer(pickle.dumps(obj), dtype=np.uint8)
+    sizes = np.asarray(
+        multihost_utils.process_allgather(np.array([buf.size], np.int64)))
+    max_n = int(sizes.max())
+    padded = np.zeros((max_n,), np.uint8)
+    padded[: buf.size] = buf
+    datas = np.asarray(multihost_utils.process_allgather(padded))
+    return [pickle.loads(bytes(d[: int(s)]))
+            for d, s in zip(datas, sizes.ravel())]
+
+
+def gather_prediction_dict(local: Dict[int, Dict]) -> Dict[int, Dict]:
+    """Union id-keyed test-prediction dicts across processes (reference
+    gather_outputs, main.py:259-268): duplicate ids from shard padding
+    collapse in the dict merge. Single-process: identity."""
+    if jax.process_count() == 1:
+        return local
+    merged: Dict[int, Dict] = {}
+    for d in _pickle_allgather(local):
+        merged.update(d)
+    return merged
+
+
 def gather_score_dict(local: Dict[int, float]) -> Dict[int, float]:
     """Union per-example {index: score} dicts across processes.
 

@@ -53,14 +53,20 @@ class CheckpointManager:
             json.dump(meta or {}, f)
 
     def restore(self, name: str, target: Any) -> Tuple[Any, dict]:
-        """Restore into `target`'s tree structure, then re-place every leaf
-        with `target`'s sharding (orbax may otherwise hand back
-        single-device arrays that clash with mesh-sharded params)."""
+        """Restore directly into `target`'s shardings by handing orbax an
+        abstract target (ShapeDtypeStruct + sharding per leaf) — restoring
+        concrete arrays and re-device_put-ing afterwards would double peak
+        host memory for large states."""
         import jax
-        state = self._ckptr.restore(self._dir(name), target)
-        state = jax.tree.map(
-            lambda x, t: jax.device_put(x, t.sharding)
-            if hasattr(t, "sharding") else x, state, target)
+
+        def abstract(t):
+            if isinstance(t, jax.Array):
+                return jax.ShapeDtypeStruct(t.shape, t.dtype,
+                                            sharding=t.sharding)
+            return t
+
+        state = self._ckptr.restore(self._dir(name),
+                                    jax.tree.map(abstract, target))
         meta = {}
         if os.path.exists(self._meta_path(name)):
             with open(self._meta_path(name)) as f:

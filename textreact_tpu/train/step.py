@@ -80,11 +80,22 @@ def make_loss_fn(module, cfg, dec_pad_id: int) -> Callable:
     return loss_fn
 
 
+def _jit_kwargs(state_shardings):
+    """donate the state; when canonical state shardings are known, pin the
+    output state to them — otherwise GSPMD picks fresh output shardings on
+    the first step (a second steady-state compile of the biggest graph, and
+    a silent undo of the ZeRO-1 optimizer layout)."""
+    kw: Dict[str, Any] = dict(donate_argnums=(0,))
+    if state_shardings is not None:
+        kw["out_shardings"] = (state_shardings, None)
+    return kw
+
+
 def make_train_step(module, cfg, tx: optax.GradientTransformation,
-                    dec_pad_id: int) -> Callable:
+                    dec_pad_id: int, state_shardings=None) -> Callable:
     loss_fn = make_loss_fn(module, cfg, dec_pad_id)
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(jax.jit, **_jit_kwargs(state_shardings))
     def train_step(state: TrainState, batch: Dict[str, Array], rng: Array
                    ) -> Tuple[TrainState, Dict[str, Array]]:
         dropout_rng = jax.random.fold_in(rng, state.step)
@@ -100,33 +111,40 @@ def make_train_step(module, cfg, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_accum_train_step(module, cfg, tx, dec_pad_id: int) -> Callable:
+def make_accum_train_step(module, cfg, tx, dec_pad_id: int,
+                          state_shardings=None) -> Callable:
     """Gradient accumulation over the leading microbatch axis via lax.scan
-    (reference accumulate_grad_batches, main.py:381)."""
+    (reference accumulate_grad_batches, main.py:381).
+
+    `mb_weights` (n,) marks real microbatches with 1.0; the trainer pads a
+    trailing partial accumulation window with weight-0 copies so the scanned
+    graph keeps a single leading extent per shape bucket (no recompile for
+    the flush). Gradients/loss average over the weight sum."""
     loss_fn = make_loss_fn(module, cfg, dec_pad_id)
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, microbatches: Dict[str, Array], rng: Array):
-        n = jax.tree_util.tree_leaves(microbatches)[0].shape[0]
-
-        def body(carry, mb):
+    @partial(jax.jit, **_jit_kwargs(state_shardings))
+    def train_step(state: TrainState, microbatches: Dict[str, Array],
+                   mb_weights: Array, rng: Array):
+        def body(carry, xs):
+            mb, w = xs
             grads_acc, loss_acc, i = carry
             dropout_rng = jax.random.fold_in(rng, state.step * 1009 + i)
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, mb, dropout_rng)
-            return (jax.tree.map(jnp.add, grads_acc, grads), loss_acc + loss,
-                    i + 1), None
+            grads_acc = jax.tree.map(lambda a, g: a + w * g, grads_acc, grads)
+            return (grads_acc, loss_acc + w * loss, i + 1), None
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.params)
         (grads, loss_sum, _), _ = jax.lax.scan(
             body, (zero_grads, jnp.zeros(()), jnp.zeros((), jnp.int32)),
-            microbatches)
-        grads = jax.tree.map(lambda g: g / n, grads)
+            (microbatches, mb_weights.astype(jnp.float32)))
+        denom = jnp.maximum(mb_weights.astype(jnp.float32).sum(), 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=params,
                                   opt_state=opt_state)
-        return new_state, {"train_loss": loss_sum / n,
+        return new_state, {"train_loss": loss_sum / denom,
                            "grad_norm": optax.global_norm(grads)}
 
     return train_step

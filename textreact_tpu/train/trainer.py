@@ -154,6 +154,19 @@ class Trainer:
             from ..models.import_hf import load_pretrained_encoder
             params = load_pretrained_encoder(params, self.cfg.encoder,
                                              self.enc_config)
+        if cfg.decoder_pretrained:
+            # reference model.py:22-24: decoder half loaded from a BERT
+            # checkpoint (cross-attention freshly initialized)
+            if cfg.template_based:
+                raise ValueError("--decoder_pretrained requires a seq2seq "
+                                 "decoder (not --template_based)")
+            if not (self.cfg.decoder and os.path.isdir(self.cfg.decoder)):
+                raise ValueError(
+                    "--decoder_pretrained needs --decoder to point at a local "
+                    f"HF checkpoint directory, got {self.cfg.decoder!r}")
+            from ..models.import_hf import load_pretrained_decoder
+            params = load_pretrained_decoder(params, self.cfg.decoder,
+                                             self.dec_config)
         return shard_params(self.mesh, params)
 
     def _num_training_steps(self) -> int:
@@ -176,14 +189,6 @@ class Trainer:
         log.info("num training steps: %d", num_steps)
         self._tx = make_optimizer(cfg, num_steps)
         accum = max(1, cfg.gradient_accumulation_steps)
-        if accum > 1:
-            from .step import make_accum_train_step
-            train_step = make_accum_train_step(self.module, cfg, self._tx,
-                                               self.dec_pad_id)
-        else:
-            train_step = make_train_step(self.module, cfg, self._tx,
-                                         self.dec_pad_id)
-        eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
 
         start_epoch, best_score = 0, None
         if cfg.overwrite:
@@ -197,9 +202,27 @@ class Trainer:
         if self.ckpt.exists(cfg.load_ckpt):
             state, meta = self.ckpt.restore(cfg.load_ckpt, state)
             state = ensure_mesh_placement(self.mesh, state)
+            if cfg.zero1:
+                state = state.replace(
+                    opt_state=zero1_opt_state(self.mesh, state.opt_state))
             start_epoch = int(meta.get("epoch", -1)) + 1
             best_score = meta.get(cfg.val_metric)
             log.info("resumed from %s at epoch %d", cfg.load_ckpt, start_epoch)
+
+        # pin the step's output-state shardings to the canonical layout so
+        # step 2 never recompiles and ZeRO-1 placement survives the update
+        state_shardings = jax.tree.map(lambda x: x.sharding, state)
+        if accum > 1:
+            from .step import make_accum_train_step
+            train_step = make_accum_train_step(self.module, cfg, self._tx,
+                                               self.dec_pad_id,
+                                               state_shardings=state_shardings)
+        else:
+            train_step = make_train_step(self.module, cfg, self._tx,
+                                         self.dec_pad_id,
+                                         state_shardings=state_shardings)
+        self._train_step_fn = train_step  # introspectable (compile-count tests)
+        eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
 
         rng = jax.random.PRNGKey(cfg.seed)
         loader = self._loaders(self.train_dataset, eval_mode=False)[0]
@@ -207,10 +230,24 @@ class Trainer:
         global_step = int(state.step)
         from ..utils.profiling import trace
         profile_dir = os.path.join(cfg.save_path, "profile") if cfg.profile else None
-        micro_buffer: List[Dict[str, jax.Array]] = []
+        # Accumulation microbatches are buffered PER SHAPE BUCKET: the
+        # collator pads to length buckets, so consecutive loader batches can
+        # have different shapes and cannot be stacked together. Each bucket
+        # accumulates independently and flushes when it holds `accum`
+        # microbatches; at epoch end, partial buffers are padded with
+        # weight-0 copies so the scanned step sees one leading extent per
+        # shape (no flush recompile).
+        micro_buffers: Dict[Any, List[Dict[str, jax.Array]]] = {}
 
-        def stacked(buffer):
-            return {k: jnp.stack([b[k] for b in buffer]) for k in buffer[0]}
+        def shape_key(b: Dict[str, jax.Array]):
+            return tuple(sorted((k, v.shape) for k, v in b.items()))
+
+        def stacked(buffer, n_real):
+            buffer = buffer + [buffer[0]] * (accum - len(buffer))
+            mbs = {k: jnp.stack([b[k] for b in buffer]) for k in buffer[0]}
+            weights = jnp.asarray(
+                [1.0] * n_real + [0.0] * (accum - n_real), jnp.float32)
+            return mbs, weights
 
         with self.mesh, trace(profile_dir):
             for epoch in range(start_epoch, cfg.epochs):
@@ -219,11 +256,14 @@ class Trainer:
                     if accum > 1:
                         # accumulate N loader batches per optimizer step
                         # (reference accumulate_grad_batches, main.py:381)
-                        micro_buffer.append(self._device_batch(batch))
-                        if len(micro_buffer) < accum:
+                        db = self._device_batch(batch)
+                        buf = micro_buffers.setdefault(shape_key(db), [])
+                        buf.append(db)
+                        if len(buf) < accum:
                             continue
-                        state, metrics = train_step(state, stacked(micro_buffer), rng)
-                        micro_buffer = []
+                        mbs, weights = stacked(buf, accum)
+                        buf.clear()
+                        state, metrics = train_step(state, mbs, weights, rng)
                     else:
                         state, metrics = train_step(state, self._device_batch(batch), rng)
                     timer.tick()
@@ -233,11 +273,16 @@ class Trainer:
                         host["steps_per_sec"] = timer.steps_per_sec
                         host["epoch"] = epoch
                         self.metrics.log(host, global_step)
-                if micro_buffer:
-                    # flush a trailing partial accumulation window
-                    state, metrics = train_step(state, stacked(micro_buffer), rng)
-                    micro_buffer = []
+                for buf in micro_buffers.values():
+                    if not buf:
+                        continue
+                    # flush a trailing partial window, padded to the full
+                    # accumulation extent with weight-0 microbatches
+                    mbs, weights = stacked(buf, len(buf))
+                    buf.clear()
+                    state, metrics = train_step(state, mbs, weights, rng)
                     global_step += 1
+                self._accum_group_count = len(micro_buffers)
                 if (epoch + 1) % cfg.eval_per_epoch == 0 and self.val_dataset is not None:
                     scores = self._run_validation(eval_step, state.params)
                     self.metrics.log(scores, global_step)
@@ -304,16 +349,23 @@ class Trainer:
         cfg = self.cfg
         state = self._load_for_eval()
         results = []
+        from ..parallel.multihost import gather_prediction_dict, is_primary
         with self.mesh:
             for li, loader in enumerate(self._loaders(self.test_dataset, True)):
                 predictions = self._predict(loader, state.params)
+                # union the id-keyed predictions across hosts BEFORE
+                # aggregation/writing/metrics (reference main.py:236-268) —
+                # a per-host shard would otherwise be scored against the
+                # full len(data_df) denominator
+                predictions = gather_prediction_dict(predictions)
                 if cfg.test_each_neighbor:
                     predictions = gather_prediction_each_neighbor(
                         predictions, cfg.test_num_neighbors)
                 path = os.path.join(
                     cfg.save_path, f"prediction_{self.test_dataset.name}_{li}.json")
-                with open(path, "w") as f:
-                    json.dump(predictions, f)
+                if is_primary():  # single writer
+                    with open(path, "w") as f:
+                        json.dump(predictions, f)
                 if cfg.task == "condition":
                     accuracy = evaluate_reaction_condition(
                         predictions, self.test_dataset.data_df)
