@@ -49,7 +49,7 @@ def main():
     tx = make_optimizer(cfg, num_training_steps=1000)
     state = TrainState.create(params, tx)
     train_step = make_train_step(module, cfg, tx, dec_pad_id=0)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.key(1, impl=cfg.dropout_rng_impl)
 
     state, metrics = train_step(state, batch, key)   # compile
     float(np.asarray(metrics["train_loss"]))          # hard sync (host readback)

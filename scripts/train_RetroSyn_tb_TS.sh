@@ -41,4 +41,5 @@ python -m textreact_tpu.cli.main \
     --do_train --do_valid --do_test \
     --num_beams 20 \
     --compute_dtype bfloat16
-# add: --attention_impl flash   (1.5x faster training; drops attention-prob dropout)
+# attention_impl defaults to 'flash' (fused Pallas kernels incl. in-kernel
+# attention-prob dropout); pass --attention_impl xla for the reference path

@@ -96,7 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--attention_impl", type=str, choices=["xla", "flash"],
-                   default="xla")
+                   default="flash")
+    p.add_argument("--dropout_rng_impl", type=str,
+                   choices=["threefry2x32", "rbg", "unsafe_rbg"],
+                   default="unsafe_rbg")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer moments over the dp axis (ZeRO-1)")
     return p

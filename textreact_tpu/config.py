@@ -92,7 +92,11 @@ class ExperimentConfig:
     length_buckets: Tuple[int, ...] = (64, 128, 256, 384, 512)
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
     log_every: int = 10
-    attention_impl: str = "xla"   # 'xla' | 'flash' (pallas flash-attention)
+    attention_impl: str = "flash"  # 'flash' (pallas fused kernels, default) | 'xla'
+    # PRNG for dropout masks: threefry (jax default) costs ~20 ms/step at the
+    # flagship geometry on v5e; the hardware RngBitGenerator impls are
+    # statistically sound for dropout and fold_in-compatible.
+    dropout_rng_impl: str = "unsafe_rbg"   # 'threefry2x32' | 'rbg' | 'unsafe_rbg'
     zero1: bool = False                 # shard optimizer moments over dp (ZeRO-1)
     profile: bool = False
     remat: bool = False                 # jax.checkpoint the encoder/decoder blocks

@@ -181,15 +181,28 @@ class MultiHeadAttention(nn.Module):
             k = proj("key", kv_in)
             v = proj("value", kv_in)
 
-        # flash kernel wants 128-aligned sequence lengths; shorter/unaligned
+        # fused kernels want 128-aligned sequence lengths; shorter/unaligned
         # shapes (e.g. the 16-160 token decoder) fall back to the XLA path
         use_flash = (cfg.attention_impl == "flash" and not self.decode
                      and bias is None
                      and x.shape[1] % 128 == 0 and kv_in.shape[1] % 128 == 0)
         if use_flash:
-            ctx = _flash_attention(q, k, v, mask_kv,
-                                   causal=self.causal_hint,
-                                   sm_scale=1.0 / float(D) ** 0.5)
+            drop_p = (0.0 if deterministic
+                      else cfg.attention_probs_dropout_prob)
+            if not self.causal_hint:
+                # fused attention kernel with in-kernel attention-prob
+                # dropout (reference HF semantics) — ops/fused_attention.py;
+                # p=0 at eval. Faster than the stock flash kernel at this
+                # geometry and interpretable on the CPU test backend.
+                from ..ops.fused_attention import fused_dropout_attention
+                rng = self.make_rng("dropout") if drop_p > 0.0 else None
+                ctx = fused_dropout_attention(
+                    q, k, v, mask_kv, drop_p, rng,
+                    sm_scale=1.0 / float(D) ** 0.5)
+            else:
+                ctx = _flash_attention(q, k, v, mask_kv,
+                                       causal=self.causal_hint,
+                                       sm_scale=1.0 / float(D) ** 0.5)
             ctx = ctx.astype(self.dtype)
             ctx = ctx.reshape(ctx.shape[0], ctx.shape[1], H * D)
             return nn.Dense(cfg.hidden_size, kernel_init=init, dtype=self.dtype,

@@ -1,0 +1,289 @@
+"""Fused attention with in-kernel attention-probability dropout (Pallas TPU).
+
+Why this kernel exists: the reference trains with attention_probs_dropout_prob
+= 0.1 (reference textreact/configs/bert_l6.json + HF BERT defaults, applied at
+main.py's model forward), but the stock Pallas flash-attention kernel has no
+dropout, so round 1 had to choose between reference dropout semantics (XLA
+attention: materializes (B, H, L, L) probs in HBM) and speed (flash). This
+kernel does both: softmax *and* the dropout mask are computed on-chip, the
+(L, L) probability tile never touches HBM, and the backward pass regenerates
+the identical mask from the same per-(batch, head-group) PRNG seed instead
+of storing it.
+
+Scope: encoder self-attention at the framework's sequence scale (L <= ~1024,
+a whole attention row fits VMEM), non-causal, optional key-padding mask.
+The numerics follow torch/HF exactly: P = softmax(S); D = P * keep / (1-p);
+out = D @ V — the softmax normalizer is computed over *undropped* weights.
+
+Layout: tensors stay in the model's natural (B, L, H*D) activation layout —
+no HBM transposes around the kernel (they cost several ms/step at the
+flagship geometry). The grid is (B, H/NH) where NH = 128//D heads share one
+instance so the head-group block is a full 128-lane tile; each head's
+(L, L) f32 score tile lives only in VMEM. Matmuls run on the MXU with f32
+accumulation; dropout bits come from pltpu.prng_random_bits seeded with
+(seed, batch * num_groups + group), heads within a group drawing successive
+tiles from the same stream (identical order forward and backward).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+LANE = 128
+
+
+def _keep_mask(p: float, shape) -> jax.Array:
+    """Bernoulli(1-p) keep mask from the seeded per-core PRNG (uint32
+    compare: keep iff bits >= p * 2^32)."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = jnp.uint32(min(int(p * (1 << 32)), (1 << 32) - 1))
+    return (pltpu.bitcast(bits, jnp.uint32) >= threshold)
+
+
+def _scores(q, k, mask, scale):
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s * scale
+    if mask is not None:
+        bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)
+        s = s + bias[None, :]
+    return s
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
+                out_ref, m_ref, l_ref, *, dropout_p, scale, use_mask,
+                host_keep, nh, head_dim):
+    b, g = pl.program_id(0), pl.program_id(1)
+    mask = mask_ref[0, 0] if use_mask else None
+    if dropout_p > 0.0 and not host_keep:
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + g)
+    for i in range(nh):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0][:, sl]                  # (L, D)
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        s = _scores(q, k, mask, scale)       # (L, L) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        probs = e / l
+        if dropout_p > 0.0:
+            if host_keep:
+                keep = keep_ref[0, i] > 0    # interpret mode: no in-kernel PRNG
+            else:
+                keep = _keep_mask(dropout_p, probs.shape)
+            probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_p)), 0.0)
+        ctx = jnp.dot(probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = ctx.astype(out_ref.dtype)
+        m_ref[0, i, 0] = m[:, 0]
+        l_ref[0, i, 0] = l[:, 0]
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
+                l_ref, do_ref, dq_ref, dk_ref, dv_ref, *, dropout_p, scale,
+                use_mask, host_keep, nh, head_dim):
+    b, g = pl.program_id(0), pl.program_id(1)
+    mask = mask_ref[0, 0] if use_mask else None
+    if dropout_p > 0.0 and not host_keep:
+        pltpu.prng_seed(seed_ref[0], b * pl.num_programs(1) + g)
+    for i in range(nh):
+        sl = slice(i * head_dim, (i + 1) * head_dim)
+        q = q_ref[0][:, sl]
+        k = k_ref[0][:, sl]
+        v = v_ref[0][:, sl]
+        do = do_ref[0][:, sl]
+        m = m_ref[0, i, 0][:, None]
+        l = l_ref[0, i, 0][:, None]
+        s = _scores(q, k, mask, scale)
+        probs = jnp.exp(s - m) / l           # matches fwd exactly
+
+        if dropout_p > 0.0:
+            if host_keep:
+                keep = keep_ref[0, i] > 0
+            else:
+                keep = _keep_mask(dropout_p, probs.shape)  # same stream order
+            inv = 1.0 / (1.0 - dropout_p)
+            dropped = jnp.where(keep, probs * inv, 0.0)
+        else:
+            keep, inv, dropped = None, 1.0, probs
+
+        # dV = D^T dO
+        dv = jax.lax.dot_general(dropped.astype(do.dtype), do,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dD = dO V^T ; dP = dD * keep/(1-p) ; softmax VJP
+        dd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dd * inv, 0.0) if keep is not None else dd
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        ds = (ds * scale).astype(q.dtype)
+        dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _group_geometry(HD, head_dim):
+    nh = max(1, LANE // head_dim)            # heads per kernel instance
+    H = HD // head_dim
+    if H % nh != 0:
+        nh = 1
+    return nh, H // nh, nh * head_dim        # nh, groups, group width
+
+
+def _qkv_spec(L, gw):
+    return pl.BlockSpec((1, L, gw), lambda b, g, *_: (b, 0, g))
+
+
+def _mask_arg(in_specs, args, mask, L):
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((1, 1, L), lambda b, g, *_: (b, 0, 0)))
+        args.append(mask)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, g, *_: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.zeros((1, 1), jnp.int32))
+
+
+def _host_keep_arg(in_specs, args, B, H, L, nh, seed, dropout_p, interpret):
+    """Interpret mode lacks a prng_seed lowering; synthesize the keep mask
+    host-side (CPU tests only — on TPU the bits come from the in-kernel PRNG
+    and never exist in HBM)."""
+    host_keep = bool(interpret) and dropout_p > 0.0
+    if host_keep:
+        key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+        keep = (jax.random.uniform(key, (B, H, L, L)) >= dropout_p)
+        in_specs.append(pl.BlockSpec((1, nh, L, L),
+                                     lambda b, g, *_: (b, g, 0, 0)))
+        args.append(keep.astype(jnp.int8))
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, g, *_: (0, 0),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.zeros((1, 1), jnp.int8))
+    return host_keep
+
+
+def _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
+    B, L, HD = q.shape
+    nh, groups, gw = _group_geometry(HD, head_dim)
+    H = HD // head_dim
+    qkv = _qkv_spec(L, gw)
+    in_specs = [qkv, qkv, qkv]
+    args = [q, k, v]
+    _mask_arg(in_specs, args, mask, L)
+    host_keep = _host_keep_arg(in_specs, args, B, H, L, nh, seed, dropout_p,
+                               interpret)
+    kernel = functools.partial(_fwd_kernel, dropout_p=dropout_p, scale=scale,
+                               use_mask=mask is not None,
+                               host_keep=host_keep, nh=nh, head_dim=head_dim)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, groups),
+        in_specs=in_specs,
+        out_specs=[
+            qkv,
+            pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0)),
+            pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0)),
+        ])
+    out, m, l = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, HD), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, *args)
+    return out, m, l
+
+
+def _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale, head_dim,
+              interpret):
+    B, L, HD = q.shape
+    nh, groups, gw = _group_geometry(HD, head_dim)
+    H = HD // head_dim
+    qkv = _qkv_spec(L, gw)
+    ml = pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0))
+    in_specs = [qkv, qkv, qkv]
+    args = [q, k, v]
+    _mask_arg(in_specs, args, mask, L)
+    host_keep = _host_keep_arg(in_specs, args, B, H, L, nh, seed, dropout_p,
+                               interpret)
+    in_specs += [ml, ml, qkv]
+    args += [m, l, do]
+    kernel = functools.partial(_bwd_kernel, dropout_p=dropout_p, scale=scale,
+                               use_mask=mask is not None,
+                               host_keep=host_keep, nh=nh, head_dim=head_dim)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, groups),
+        in_specs=in_specs,
+        out_specs=[qkv, qkv, qkv])
+    dq, dk, dv = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, L, HD), q.dtype)] * 3,
+        interpret=interpret,
+    )(seed, *args)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused_attention(q, k, v, mask, seed, dropout_p, scale, head_dim,
+                     interpret):
+    out, _, _ = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
+                          interpret)
+    return out
+
+
+def _fa_fwd(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
+    out, m, l = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
+                          interpret)
+    return out, (q, k, v, mask, seed, m, l)
+
+
+def _fa_bwd(dropout_p, scale, head_dim, interpret, res, do):
+    q, k, v, mask, seed, m, l = res
+    dq, dk, dv = _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale,
+                           head_dim, interpret)
+    return dq, dk, dv, None, None
+
+
+_fused_attention.defvjp(_fa_fwd, _fa_bwd)
+
+
+def fused_dropout_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                            mask_kv: Optional[jax.Array],
+                            dropout_p: float, dropout_rng,
+                            sm_scale: float,
+                            interpret: Optional[bool] = None) -> jax.Array:
+    """Attention with HF/torch attention-prob dropout semantics, fused.
+
+    q, k, v: (B, L, H, D); mask_kv: (B, L) {0,1} key-padding mask or None.
+    Returns (B, L, H, D). Differentiable wrt q/k/v; the dropout mask is
+    regenerated (not stored) in the backward pass. Internally everything
+    stays in the (B, L, H*D) activation layout — no HBM transposes.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, L, H, D = q.shape
+    q2 = q.reshape(B, L, H * D)
+    k2 = k.reshape(B, L, H * D)
+    v2 = v.reshape(B, L, H * D)
+    if dropout_p > 0.0:
+        seed = jax.random.randint(dropout_rng, (1,), 0,
+                                  jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+    mask = (mask_kv.astype(jnp.int32)[:, None, :]
+            if mask_kv is not None else None)
+    out = _fused_attention(q2, k2, v2, mask, seed, float(dropout_p),
+                           float(sm_scale), int(D), bool(interpret))
+    return out.reshape(B, L, H, D)

@@ -224,7 +224,7 @@ class Trainer:
         self._train_step_fn = train_step  # introspectable (compile-count tests)
         eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
 
-        rng = jax.random.PRNGKey(cfg.seed)
+        rng = jax.random.key(cfg.seed, impl=cfg.dropout_rng_impl)
         loader = self._loaders(self.train_dataset, eval_mode=False)[0]
         timer = StepTimer()
         global_step = int(state.step)
