@@ -3,12 +3,12 @@
 from typing import Any, Dict
 
 from .condition import evaluate_reaction_condition
-from .edit_rank import rank_edits
+from .edit_rank import device_topk_edits, edits_from_topk, rank_edits
 from .retro import compare_pred_and_gold, evaluate_retrosynthesis
 
 __all__ = ["evaluate_reaction_condition", "evaluate_retrosynthesis",
-           "compare_pred_and_gold", "rank_edits",
-           "gather_prediction_each_neighbor"]
+           "compare_pred_and_gold", "rank_edits", "device_topk_edits",
+           "edits_from_topk", "gather_prediction_each_neighbor"]
 
 
 def gather_prediction_each_neighbor(prediction: Dict[int, Dict[str, Any]],

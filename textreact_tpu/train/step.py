@@ -150,9 +150,16 @@ def make_accum_train_step(module, cfg, tx, dec_pad_id: int,
     return train_step
 
 
-def make_eval_step(module, cfg, dec_pad_id: int) -> Callable:
+def make_eval_step(module, cfg, dec_pad_id: int, edit_topk: int = 500
+                   ) -> Callable:
     """Per-example val scores (reference validation_step, main.py:177-188):
-    val_acc = greedy exact match, val_loss = per-example mean CE."""
+    val_acc = greedy exact match, val_loss = per-example mean CE.
+
+    Template-based models return the top-`edit_topk` edit candidates ranked
+    ON DEVICE (lax.top_k over the flattened atom/bond probabilities, SURVEY
+    §7 item 7) instead of the full (B, A, n_a+1)/(B, MB, n_b+1) probability
+    tensors — the host only merges two k-length lists per example, replacing
+    the reference's host argsort over the full grids (utils.py:79-108)."""
     template_based = cfg.template_based
 
     @jax.jit
@@ -162,14 +169,20 @@ def make_eval_step(module, cfg, dec_pad_id: int) -> Callable:
         res: Dict[str, Array] = {"example_mask": batch["example_mask"],
                                  "indices": batch["indices"]}
         if template_based:
+            from ..evaluation.edit_rank import device_topk_edits
             atom_logits, bond_logits = out["logits"]
             res["loss"] = losses.template_loss(
                 atom_logits, bond_logits, batch["atom_template_labels"],
                 batch["bond_template_labels"], reduction="none")
-            res["atom_probs"] = losses.masked_probs(
+            atom_probs = losses.masked_probs(
                 atom_logits, batch["atom_template_labels"])
-            res["bond_probs"] = losses.masked_probs(
+            bond_probs = losses.masked_probs(
                 bond_logits, batch["bond_template_labels"])
+            (res["atom_topk_vals"], res["atom_topk_idx"],
+             res["bond_topk_vals"], res["bond_topk_idx"]) = device_topk_edits(
+                atom_probs, bond_probs,
+                batch["bond_template_labels"] != losses.IGNORE_INDEX,
+                edit_topk)
         else:
             res["loss"] = losses.seq2seq_loss(
                 out["logits"], batch["decoder_input_ids"], dec_pad_id,

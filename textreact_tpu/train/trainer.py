@@ -22,7 +22,7 @@ from ..config import ExperimentConfig
 from ..data import (DATASET_CLS, Batch, Collator, DataLoader,
                     generate_train_label_corpus, read_corpus)
 from ..evaluation import (evaluate_reaction_condition, evaluate_retrosynthesis,
-                          gather_prediction_each_neighbor, rank_edits)
+                          edits_from_topk, gather_prediction_each_neighbor)
 from ..inference.predictor import Generator, predictions_from_beams
 from ..models import build_model
 from ..parallel.mesh import batch_sharding, make_mesh
@@ -222,7 +222,8 @@ class Trainer:
                                          self.dec_pad_id,
                                          state_shardings=state_shardings)
         self._train_step_fn = train_step  # introspectable (compile-count tests)
-        eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
+        eval_step = make_eval_step(self.module, cfg, self.dec_pad_id,
+                                   edit_topk=1)
 
         rng = jax.random.key(cfg.seed, impl=cfg.dropout_rng_impl)
         loader = self._loaders(self.train_dataset, eval_mode=False)[0]
@@ -323,14 +324,21 @@ class Trainer:
 
     def _template_top1(self, res, batch: Batch) -> np.ndarray:
         """Greedy template accuracy (reference main.py:139-149): top-ranked
-        edit in the gold raw label set, scaled by 1/len(labels)."""
-        atom_probs = np.asarray(res["atom_probs"])
-        bond_probs = np.asarray(res["bond_probs"])
-        B = atom_probs.shape[0]
+        edit in the gold raw label set, scaled by 1/len(labels). The edit
+        ranking itself runs on device (device_topk_edits in the eval step);
+        only the two per-example top-1 candidates reach the host."""
+        av, ai, bv, bi = (np.asarray(res["atom_topk_vals"]),
+                          np.asarray(res["atom_topk_idx"]),
+                          np.asarray(res["bond_topk_vals"]),
+                          np.asarray(res["bond_topk_idx"]))
+        n_a1 = self.module.num_atom_templates + 1
+        n_b1 = self.module.num_bond_templates + 1
+        B = av.shape[0]
         out = np.zeros((B,), dtype=np.float32)
         for b, (bonds, raw) in enumerate(zip(batch.host["bonds"],
                                              batch.host["raw_template_labels"])):
-            edits, _ = rank_edits(atom_probs[b], bond_probs[b], bonds, top_num=1)
+            edits, _ = edits_from_topk(av[b], ai[b], bv[b], bi[b],
+                                       n_a1, n_b1, bonds, top_num=1)
             hit = bool(edits) and edits[0] in [tuple(r) for r in raw]
             out[b] = float(hit) / max(len(raw), 1)
         return out
@@ -384,18 +392,25 @@ class Trainer:
         cfg = self.cfg
         predictions: Dict[int, Dict[str, Any]] = {}
         if cfg.template_based:
-            eval_step = make_eval_step(self.module, cfg, self.dec_pad_id)
+            # top-500 edit ranking on device (reference combined_edit top 500,
+            # main.py:211-216) — the host receives 2x500 candidates/example
+            # instead of the full probability grids
+            eval_step = make_eval_step(self.module, cfg, self.dec_pad_id,
+                                       edit_topk=500)
+            n_a1 = self.module.num_atom_templates + 1
+            n_b1 = self.module.num_bond_templates + 1
             for batch in loader:
                 res = eval_step(params, self._device_batch(batch))
-                atom_probs = np.asarray(res["atom_probs"])
-                bond_probs = np.asarray(res["bond_probs"])
+                av, ai = np.asarray(res["atom_topk_vals"]), np.asarray(res["atom_topk_idx"])
+                bv, bi = np.asarray(res["bond_topk_vals"]), np.asarray(res["bond_topk_idx"])
                 mask = np.asarray(res["example_mask"]).astype(bool)
                 idxs = np.asarray(res["indices"])
                 for b in np.nonzero(mask)[0]:
                     bonds = batch.host["bonds"][b]
                     raw = [tuple(r) for r in batch.host["raw_template_labels"][b]]
-                    edits, probs = rank_edits(atom_probs[b], bond_probs[b],
-                                              bonds, top_num=500)
+                    edits, probs = edits_from_topk(av[b], ai[b], bv[b], bi[b],
+                                                   n_a1, n_b1, bonds,
+                                                   top_num=500)
                     predictions[int(idxs[b])] = {
                         "prediction": edits,
                         "score": probs,
