@@ -82,6 +82,65 @@ def test_merge_dedup_and_filter():
     assert (slots["solvent2"] == "").all()
 
 
+def test_mol_charge_classes():
+    from textreact_tpu.preprocess.ionic import mol_charge
+    assert mol_charge("CCO") == ("Neutral", False)
+    assert mol_charge("[Na+]") == ("Positive", False)
+    assert mol_charge("[O-]S(=O)(=O)[O-]") == ("Negative", False)
+    # inner salt: both signs present, net zero -> Neutral with neutralization
+    assert mol_charge("C[N+](C)(C)CC([O-])=O") == ("Neutral", True)
+    # both signs, net positive
+    assert mol_charge("[Mg+2].[Cl-]") == ("Positive", True)
+
+
+def test_ionic_strip_and_split():
+    """Reference utils.py __main__ example: LiAlH4 + NaOH + water strips to
+    water (neutral) plus two table entries; charged leftovers are unknown."""
+    from textreact_tpu.preprocess.ionic import (IonicCompoundTable,
+                                                split_reagent_combination)
+    table = IonicCompoundTable.load()
+    known, unknown = split_reagent_combination(
+        "O.[Al+3].[H-].[H-].[H-].[H-].[Li+].[Na+].[OH-]", table)
+    assert known == ["O", "[Na+].[OH-]", "[Al+3].[H-].[H-].[H-].[H-].[Li+]"]
+    assert unknown == []
+    # a bare cation with no matching salt is unknown -> row would die
+    known, unknown = split_reagent_combination("[Na+]", table)
+    assert known == [] and unknown == ["[Na+]"]
+    # unknown fragments are dropped but known parts keep the row
+    known, unknown = split_reagent_combination("CCO.[Na+]", table)
+    assert known == ["CCO"] and unknown == ["[Na+]"]
+    # repeated salt occurrences strip repeatedly, recorded once
+    known, unknown = split_reagent_combination(
+        "[Na+].[OH-].[Na+].[OH-].CCO", table)
+    assert known == ["CCO", "[Na+].[OH-]"] and unknown == []
+    # NaN reagent keeps the row with an empty known slot (3.0:96-98)
+    known, unknown = split_reagent_combination(float("nan"), table)
+    assert known == [""] and unknown == []
+
+
+def test_filter_ionic_reagents_stage3():
+    """Stage-3 fixture: reagent splitting drives row survival + excess."""
+    rows = []
+    for i in range(120):  # frequent neutral reagent, survives
+        rows.append({"canonical_rxn": f"r{i}", "remapped_rxn": f"m{i}",
+                     "catalyst": "", "solvent": "CCO",
+                     "reagent": "O.[Na+].[OH-]"})
+    for i in range(120):  # bare ion reagent: known empty -> rows dropped
+        rows.append({"canonical_rxn": f"s{i}", "remapped_rxn": f"n{i}",
+                     "catalyst": "", "solvent": "CCO", "reagent": "[Na+]"})
+    for i in range(120):  # >2 known components -> excess-removed
+        rows.append({"canonical_rxn": f"t{i}", "remapped_rxn": f"o{i}",
+                     "catalyst": "", "solvent": "CCO",
+                     "reagent": "O.CCO.CCN"})
+    db, freqs = merge_and_dedup([pd.DataFrame(rows)])
+    out = filter_and_split_conditions(db, freqs, remove_threshold=100)
+    assert set(out["canonical_rxn"]) == {f"r{i}" for i in range(120)}
+    assert (out["reagent_split"] == f"O{SPLIT_TOKEN}[Na+].[OH-]").all()
+    slots = split_condition_slots(out)
+    assert (slots["reagent1"] == "O").all()
+    assert (slots["reagent2"] == "[Na+].[OH-]").all()
+
+
 def test_split_token_two_solvents():
     db = pd.DataFrame({
         "catalyst_split": [""],

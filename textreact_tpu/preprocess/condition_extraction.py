@@ -144,23 +144,49 @@ def merge_and_dedup(chunks: List[pd.DataFrame]) -> Tuple[pd.DataFrame, Dict[str,
 
 def filter_and_split_conditions(db: pd.DataFrame,
                                 freqs: Dict[str, pd.DataFrame],
-                                remove_threshold: int = 100) -> pd.DataFrame:
-    """Frequency filtering + excess removal + slot splitting (reference
-    3.0.split_condition_and_slect.py). The reference additionally splits
-    ionic reagent complexes with an RDKit salt remover; here reagents split
-    on '.' (documented simplification — the ionic table only affects a small
-    tail of reagent combinations)."""
+                                remove_threshold: int = 100,
+                                ionic_table=None) -> pd.DataFrame:
+    """Frequency filtering + ionic reagent splitting + excess removal + slot
+    splitting (reference 3.0.split_condition_and_slect.py:29-181):
+
+    1. drop rows whose catalyst/solvent/reagent combo has corpus frequency
+       below `remove_threshold` (3.0:29-39); empty/NaN combos never drop;
+    2. strip each unique reagent combo of known ionic compounds and classify
+       leftovers by formal charge (ionic.split_reagent_combination; reference
+       MolRemover + get_mol_charge, 3.0:93-122). Charged leftovers vanish
+       from the reagent list; rows with NOTHING known left are dropped
+       (3.0:123-127);
+    3. excess removal per Gao et al. 2018 (3.0:135-152): catalyst with >1
+       '.'-fragment, solvent with >2, or reagent with >2 known components;
+    4. *_split columns: catalyst verbatim, solvent '.'-split, reagent =
+       known components, all joined with SPLIT_TOKEN (3.0:153-172)."""
+    from .ionic import IonicCompoundTable, split_reagent_combination
+    if ionic_table is None:
+        ionic_table = IonicCompoundTable.load()
+
     keep = pd.Series(True, index=db.index)
     for role in ("catalyst", "solvent", "reagent"):
         rare = set(freqs[role][freqs[role]["freq_cnt"] < remove_threshold]["smiles"])
+        rare.discard("")
         keep &= ~db[role].fillna("").isin(rare)
+    db = db[keep].reset_index(drop=True)
+
+    # per-unique-combo ionic split (the reference builds reagent2index_dict
+    # to do this once per distinct combo, 3.0:41-44)
+    reagent_known: Dict[str, List[str]] = {}
+    for combo in db["reagent"].fillna("").unique():
+        known, _unknown = split_reagent_combination(combo if combo else None,
+                                                    ionic_table)
+        reagent_known[combo] = known
+    keep = [bool(reagent_known[r]) for r in db["reagent"].fillna("")]
     db = db[keep].reset_index(drop=True)
 
     def parts(value: str) -> List[str]:
         return [p for p in str(value).split(".") if p] if pd.notna(value) else []
 
-    # excess removal: catalyst > 1, solvent > 2, reagent > 2
-    keep = [len(parts(c)) <= 1 and len(parts(s)) <= 2 and len(parts(r)) <= 2
+    # excess removal: catalyst > 1, solvent > 2, reagent > 2 known components
+    keep = [len(parts(c)) <= 1 and len(parts(s)) <= 2
+            and len([k for k in reagent_known[r] if k]) <= 2
             for c, s, r in zip(db["catalyst"].fillna(""),
                                db["solvent"].fillna(""),
                                db["reagent"].fillna(""))]
@@ -168,7 +194,8 @@ def filter_and_split_conditions(db: pd.DataFrame,
 
     db["catalyst_split"] = db["catalyst"].fillna("")
     db["solvent_split"] = [SPLIT_TOKEN.join(parts(s)) for s in db["solvent"].fillna("")]
-    db["reagent_split"] = [SPLIT_TOKEN.join(parts(r)) for r in db["reagent"].fillna("")]
+    db["reagent_split"] = [SPLIT_TOKEN.join(reagent_known[r])
+                           for r in db["reagent"].fillna("")]
     return db
 
 
