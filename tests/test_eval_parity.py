@@ -73,6 +73,71 @@ def test_retro_metric_fixture():
     assert acc[20] == 2 / 3
 
 
+def test_condition_metric_nan_slot_never_hits():
+    """Reference reads gold labels verbatim (evaluate.py:18): a NaN cell
+    from the CSV can never equal a decoded string tuple."""
+    import numpy as np
+    data_df = pd.DataFrame({
+        "catalyst1": [np.nan], "solvent1": ["CCO"], "solvent2": [""],
+        "reagent1": [""], "reagent2": [""]})
+    prediction = {0: {"prediction": [["", "CCO", "", "", ""],
+                                     ["nan", "CCO", "", "", ""]],
+                      "score": [0, -1]}}
+    acc = evaluate_reaction_condition(prediction, data_df)
+    assert acc == {1: 0.0, 3: 0.0, 5: 0.0, 10: 0.0, 15: 0.0}
+
+
+def test_condition_metric_missing_prediction_counts_in_denominator():
+    """Denominator is len(data_df) (evaluate.py:21-23); an example absent
+    from the prediction dict just never hits."""
+    data_df = pd.DataFrame({
+        "catalyst1": ["", ""], "solvent1": ["CCO", "CCN"],
+        "solvent2": ["", ""], "reagent1": ["", ""], "reagent2": ["", ""]})
+    prediction = {1: {"prediction": [["", "CCN", "", "", ""]], "score": [0]}}
+    acc = evaluate_reaction_condition(prediction, data_df)
+    assert acc[1] == 0.5
+
+
+def test_retro_duplicate_beams_first_match_rank():
+    """_compare_pred_and_gold returns the FIRST matching index
+    (evaluate.py:35-40): duplicate beams don't double-count, and a later
+    duplicate can't improve the rank."""
+    data_df = pd.DataFrame({"reactant_smiles": ["CCO"]})
+    prediction = {0: {"prediction": ["CCC", "OCC", "CCO", "CCO"],
+                      "score": [0, 0, 0, 0]}}
+    acc = evaluate_retrosynthesis(prediction, data_df, top_k=20)
+    assert acc[1] == 0.0 and acc[2] == 1.0 and acc[3] == 1.0
+
+
+def test_retro_kekule_prediction_matches_aromatic_gold():
+    """Canonicalization must align kekulé predictions with aromatic gold
+    (RDKit sanitization parity; own chem kit aromaticity perception)."""
+    data_df = pd.DataFrame({"reactant_smiles": ["c1ccccc1O"]})
+    prediction = {0: {"prediction": ["OC1=CC=CC=C1"], "score": [0]}}
+    acc = evaluate_retrosynthesis(prediction, data_df, top_k=20)
+    assert acc[1] == 1.0
+
+
+def test_each_neighbor_aggregation_then_metric():
+    """test_each_neighbor mode: expanded indices i map to example
+    i // num_neighbors with list-concatenated predictions (utils.py:55-64),
+    evaluated as one example against len(data_df)."""
+    from textreact_tpu.evaluation import gather_prediction_each_neighbor
+    data_df = pd.DataFrame({
+        "catalyst1": [""], "solvent1": ["CCO"], "solvent2": [""],
+        "reagent1": [""], "reagent2": [""]})
+    gold = ["", "CCO", "", "", ""]
+    expanded = {
+        0: {"prediction": [["x"] * 5], "score": [0.0]},
+        1: {"prediction": [gold], "score": [-1.0]},
+    }
+    merged = gather_prediction_each_neighbor(expanded, 2)
+    assert merged[0]["prediction"] == [["x"] * 5, gold]
+    assert merged[0]["score"] == [0.0, -1.0]
+    acc = evaluate_reaction_condition(merged, data_df)
+    assert acc[1] == 0.0 and acc[3] == 1.0
+
+
 def test_retro_unparseable_gold_falls_back_to_string_match():
     # reference canonical_smiles returns the input on parse failure
     data_df = pd.DataFrame({"reactant_smiles": ["not_a_smiles"]})

@@ -13,6 +13,10 @@ SMILES = [
     "[Na+].[Cl-]", "Clc1ccc(Br)cc1", "O=S(=O)(O)O", "[13CH3][NH3+]",
     "C[C@H](N)C(=O)O", "c1cnc2[nH]ccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
     "COc1ccc2[nH]c3ccccc3c2c1", "[O-][n+]1ccccc1", "C1CC2CCC1CC2",
+    # kekulé spellings: aromaticity perception must match python exactly
+    "C1=CC=CC=C1", "CC1=CC=CC=C1C", "C1=CC=CN1", "O=C1C=CC=CN1",
+    "O=C1C=CC(=O)C=C1", "C1=CC2=CC=CC=C2N1", "[O+]1=CC=CC=C1",
+    "C1=CC=CC=CC=C1", "C1CCC=CC1",
     "not_a_smiles", "",
 ]
 
@@ -63,6 +67,23 @@ def test_native_canonical_smiles_matches_python():
             shuffled, _ = random_smiles(smi, rng)
             assert native_canonical_smiles(shuffled) == \
                 canonical_smiles_strict(shuffled), shuffled
+
+
+def test_native_canonical_matches_python_on_golden_groups():
+    """Every spelling in the vendored canon goldens canonicalizes to the
+    same string in C++ and python (incl. kekulé → aromatic perception)."""
+    import json
+    import os
+    from textreact_tpu.chem import canonical_smiles_strict
+    from textreact_tpu.chem.native import native_canonical_smiles
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "canon_groups.json")
+    with open(path) as f:
+        groups = json.load(f)["groups"]
+    for g in groups:
+        for smi in g["smiles"]:
+            assert native_canonical_smiles(smi) == \
+                canonical_smiles_strict(smi), (g["name"], smi)
 
 
 def test_native_canonical_fallback():

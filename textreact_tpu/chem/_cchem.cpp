@@ -16,6 +16,7 @@
 #include <cstdio>
 #include <functional>
 #include <map>
+#include <set>
 #include <string>
 #include <vector>
 
@@ -134,6 +135,148 @@ void assign_implicit_h(Mol& mol) {
       for (int v : *vals)
         if (order_sum <= v) { h = v - order_sum; break; }
     a.implicit_h = h;
+  }
+}
+
+// --- aromaticity perception (mirror of chem/aromatic.py) -------------------
+constexpr int MAX_RING = 7;
+
+bool aromatic_capable(const std::string& s) {
+  return s == "B" || s == "C" || s == "N" || s == "O" || s == "P" ||
+         s == "S" || s == "As" || s == "Se" || s == "Te";
+}
+
+// shortest cycle containing bond bidx (BFS avoiding the bond itself,
+// neighbors in adjacency order); ring returned as dst..src like the python.
+bool shortest_cycle_through(const Mol& mol, int bidx, std::vector<int>* out) {
+  const int src = mol.bonds[bidx].a1, dst = mol.bonds[bidx].a2;
+  std::vector<int> prev(mol.atoms.size(), -2);
+  std::vector<int> depth(mol.atoms.size(), 0);
+  prev[src] = -1;
+  std::vector<int> queue = {src};
+  while (!queue.empty()) {
+    std::vector<int> nxt;
+    for (int a : queue) {
+      if (depth[a] + 2 > MAX_RING) return false;
+      for (int nb : mol.adj[a]) {
+        if (nb == bidx) continue;
+        int o = mol.other(nb, a);
+        if (prev[o] != -2) continue;
+        prev[o] = a;
+        depth[o] = depth[a] + 1;
+        if (o == dst) {
+          out->clear();
+          for (int x = o; x != -1; x = prev[x]) out->push_back(x);
+          return true;
+        }
+        nxt.push_back(o);
+      }
+    }
+    queue = std::move(nxt);
+  }
+  return false;
+}
+
+std::vector<std::vector<int>> candidate_rings(const Mol& mol) {
+  std::vector<std::vector<int>> rings;
+  std::set<std::vector<int>> seen;
+  std::vector<int> ring;
+  for (int b = 0; b < (int)mol.bonds.size(); ++b) {
+    if (!shortest_cycle_through(mol, b, &ring)) continue;
+    if ((int)ring.size() < 3 || (int)ring.size() > MAX_RING) continue;
+    std::vector<int> key = ring;
+    std::sort(key.begin(), key.end());
+    if (!seen.insert(key).second) continue;
+    rings.push_back(ring);
+  }
+  return rings;
+}
+
+// pi electron count of the ring, or -1 when an atom disqualifies it
+int ring_pi_electrons(const Mol& mol, const std::vector<int>& ring) {
+  std::set<int> ring_set(ring.begin(), ring.end());
+  int total = 0;
+  for (int a : ring) {
+    const Atom& atom = mol.atoms[a];
+    if (!aromatic_capable(atom.symbol)) return -1;
+    if ((int)mol.adj[a].size() + atom.total_h() > 3) return -1;
+    bool in_ring_pi = false, exo_double = false;
+    for (int bidx : mol.adj[a]) {
+      const Bond& b = mol.bonds[bidx];
+      if (b.order >= TRIPLE) return -1;
+      bool is_pi = b.aromatic || b.order == AROMATIC || b.order == DOUBLE;
+      if (!is_pi) continue;
+      if (ring_set.count(mol.other(bidx, a))) in_ring_pi = true;
+      else if (b.order == DOUBLE) exo_double = true;
+    }
+    if (in_ring_pi) {
+      total += 1;
+    } else if (exo_double) {
+      total += 0;
+    } else {
+      const std::string& sym = atom.symbol;
+      int q = atom.charge;
+      if ((sym == "N" || sym == "P" || sym == "As") && (q == 0 || q == -1))
+        total += 2;
+      else if ((sym == "O" || sym == "S" || sym == "Se" || sym == "Te") && q == 0)
+        total += 2;
+      else if (sym == "C" && q == -1) total += 2;
+      else if (sym == "C" && q == 1) total += 0;
+      else if (sym == "B" && q == 0) total += 0;
+      else return -1;
+    }
+  }
+  return total;
+}
+
+bool ring_edge(const std::vector<int>& ring, int a1, int a2) {
+  const int n = (int)ring.size();
+  for (int i = 0; i < n; ++i) {
+    int x = ring[i], y = ring[(i + 1) % n];
+    if ((x == a1 && y == a2) || (x == a2 && y == a1)) return true;
+  }
+  return false;
+}
+
+void perceive_aromaticity(Mol& mol) {
+  auto rings = candidate_rings(mol);
+  if (rings.empty()) return;
+  std::vector<int> pending(rings.size());
+  for (size_t i = 0; i < rings.size(); ++i) pending[i] = (int)i;
+  bool changed = true;
+  while (changed && !pending.empty()) {
+    changed = false;
+    std::vector<int> still;
+    for (int ri : pending) {
+      const std::vector<int>& ring = rings[ri];
+      std::set<int> ring_set(ring.begin(), ring.end());
+      bool already = true;
+      for (int a : ring)
+        if (!mol.atoms[a].aromatic) { already = false; break; }
+      if (already)
+        for (const Bond& b : mol.bonds)
+          if (ring_set.count(b.a1) && ring_set.count(b.a2) &&
+              ring_edge(ring, b.a1, b.a2) && !b.aromatic) {
+            already = false;
+            break;
+          }
+      if (already) continue;
+      int pi = ring_pi_electrons(mol, ring);
+      if (pi >= 2 && (pi - 2) % 4 == 0) {
+        for (int a : ring) mol.atoms[a].aromatic = true;
+        for (Bond& b : mol.bonds)
+          if (ring_set.count(b.a1) && ring_set.count(b.a2) &&
+              ring_edge(ring, b.a1, b.a2)) {
+            b.order = SINGLE;
+            b.aromatic = true;
+            b.direction = 0;
+          }
+        changed = true;
+      } else {
+        still.push_back(ri);
+      }
+    }
+    pending = std::move(still);
   }
 }
 
@@ -322,6 +465,7 @@ Mol parse_smiles(const std::string& smiles) {
   }
   if (!ring_open.empty() || !stack.empty()) throw ParseError{};
   assign_implicit_h(mol);
+  perceive_aromaticity(mol);
   return mol;
 }
 

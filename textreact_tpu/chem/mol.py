@@ -359,4 +359,8 @@ def parse_smiles(smiles: str) -> Mol:
 
     mol.smiles_neighbor_order = nbr_order  # type: ignore[attr-defined]
     mol.assign_implicit_h()
+    # normalize kekulé spellings to aromatic form (RDKit sanitization
+    # equivalent) so canonicalization/fingerprints are spelling-invariant
+    from .aromatic import perceive_aromaticity
+    perceive_aromaticity(mol)
     return mol
