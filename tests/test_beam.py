@@ -15,7 +15,7 @@ def _static_step(logit_table):
     """step_fn emitting a fixed distribution per position (ignores tokens)."""
     table = jnp.asarray(logit_table, dtype=jnp.float32)
 
-    def step_fn(cache, tokens, pos):
+    def step_fn(cache, tokens, pos, beam_bias):
         n = tokens.shape[0]
         logits = jnp.tile(table[pos][None, None, :], (n, 1, 1))
         return logits, cache

@@ -152,6 +152,79 @@ def test_decode_cache_matches_full_decoder(seed):
                                    rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.parametrize("seed", [0, 7])
+def test_ancestry_beam_attention_matches_permuted_cache(seed):
+    """The row-stable ancestry-masked beam attention (beam_bias path) must
+    reproduce per-row decoding with a physically permuted KV cache, under
+    arbitrary per-step beam reorderings."""
+    from textreact_tpu.inference.beam import ancestor_bias
+
+    B, K, T = 2, 3, 5
+    model = EncoderDecoder(encoder_config=TINY_ENC, decoder_config=TINY_DEC,
+                           dtype=jnp.float32)
+    batch = _batch()
+    params = model.init(jax.random.PRNGKey(seed), **batch)
+    enc_rows = model.apply(params, method="encode",
+                           input_ids=batch["input_ids"],
+                           attention_mask=batch["attention_mask"])
+    # grouped cross-attention: encoder rows stay per-example (B), queries
+    # arrive as B*K rows
+    step_params = {"params": {"decoder": params["params"]["decoder"]}}
+    step_model = DecoderStep(decoder_config=TINY_DEC, dtype=jnp.float32,
+                             cache_len=T, beam_groups=K)
+    ref_step_model = DecoderStep(decoder_config=TINY_DEC, dtype=jnp.float32,
+                                 cache_len=T)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(1, TINY_DEC.vocab_size, (T, B * K)).astype(np.int32)
+    parents = rng.integers(0, K, (T, B, K)).astype(np.int32)
+
+    def init_cache(model):
+        _, cv = model.apply(step_params,
+                            jnp.zeros((B * K, 1), jnp.int32), enc_rows,
+                            batch["attention_mask"], 0, mutable=["cache"])
+        return cv["cache"]
+
+    # --- reference: physically permute the cache each step, per-row path ---
+    def permute_cache(cache, sel):
+        flat = (np.arange(B)[:, None] * K + sel).reshape(-1)
+
+        def gather(path, x):
+            names = {getattr(p, "key", None) for p in path}
+            if "cached_cross_key" in names or "cached_cross_value" in names:
+                return x
+            return x[flat] if x.ndim >= 1 and x.shape[0] == B * K else x
+        import jax.tree_util as jtu
+        return jtu.tree_map_with_path(gather, cache)
+
+    # after each step t, beam j adopts the history of parents[t, b, j]; row
+    # j of both branches then denotes the SAME hypothesis, so logits compare
+    # directly step by step
+    cache = init_cache(ref_step_model)
+    ref_logits = []
+    for t in range(T - 1):
+        logits, vo = ref_step_model.apply(
+            {**step_params, "cache": cache},
+            jnp.asarray(tokens[t][:, None]), enc_rows,
+            batch["attention_mask"], t, mutable=["cache"])
+        ref_logits.append(np.asarray(logits[:, 0]))
+        cache = permute_cache(vo["cache"], parents[t])
+
+    # --- ancestry path: row-stable grouped cache + src table ---
+    cache = init_cache(step_model)
+    src = np.zeros((B, K, T), dtype=np.int32)
+    for t in range(T - 1):
+        src[:, :, t] = np.arange(K)[None, :]
+        bias = ancestor_bias(jnp.asarray(src), jnp.asarray(t + 1), B, K, T)
+        logits, vo = step_model.apply(
+            {**step_params, "cache": cache},
+            jnp.asarray(tokens[t][:, None]), enc_rows,
+            batch["attention_mask"], t, bias, mutable=["cache"])
+        cache = vo["cache"]
+        np.testing.assert_allclose(np.asarray(logits[:, 0]), ref_logits[t],
+                                   rtol=2e-4, atol=2e-4, err_msg=f"step {t}")
+        src = src[np.arange(B)[:, None], parents[t]]
+
+
 def test_decode_cache_from_init_diverges():
     """Regression guard for the predictor cache bug: a cache created with
     step_model.init (fresh kernels) must NOT reproduce the trained decoder's

@@ -27,21 +27,25 @@ Array = jax.Array
 NEG_INF = -1.0e7
 
 
-def _gather_beams(tree: Any, beam_indices: Array, B: int, K: int) -> Any:
-    """Select beams: leaves have leading dim B*K; beam_indices (B, K).
+NEG_INF_BIAS = -1.0e9  # attention-bias masking (matches models/layers.py)
 
-    Cross-attention K/V caches are skipped: every beam of an example holds
-    the same encoder projections, so reordering beams within an example is
-    an identity on them — skipping saves a multi-GB gather per step."""
-    flat_idx = (jnp.arange(B)[:, None] * K + beam_indices).reshape(-1)
 
-    def gather(path, x):
-        names = {getattr(p, "key", None) for p in path}
-        if "cached_cross_key" in names or "cached_cross_value" in names:
-            return x
-        return x[flat_idx] if x.ndim >= 1 and x.shape[0] == B * K else x
+def ancestor_bias(src: Array, cur_len: Array, B: int, K: int, T: int) -> Array:
+    """(B, K, T*K) additive attention bias from the ancestor table, merged
+    KV axis in (t, g) order matching the grouped beam cache layout
+    (models/layers.py: cached_key (B, H, T, G, D)).
 
-    return jax.tree_util.tree_map_with_path(gather, tree)
+    src[b, j, t] = cache ROW holding beam j's key/value at position t. The
+    KV cache is never permuted when beams reorder (XLA moves the multi-GB
+    gather at ~10% of HBM bandwidth — it was 91% of the decode step at
+    retro scale); instead each beam attends over all T*K cache slots of its
+    example and this bias admits exactly one row per valid position: its
+    ancestor's. Softmax over the masked T*K axis therefore equals softmax
+    over the beam's own history."""
+    rows = jnp.arange(K)
+    valid = src[:, :, :, None] == rows[None, None, None, :]      # (B,K,T,K)
+    valid = valid & (jnp.arange(T)[None, None, :, None] < cur_len)
+    return jnp.where(valid.reshape(B, K, T * K), 0.0, NEG_INF_BIAS)
 
 
 def beam_search(
@@ -56,7 +60,13 @@ def beam_search(
 ) -> Tuple[Array, Array]:
     """Returns (sequences (B, K, max_length), scores (B, K)) best-first.
 
-    step_fn(cache, tokens (B*K, 1), position) -> (logits (B*K, 1, V), cache).
+    step_fn(cache, tokens (B*K, 1), position, beam_bias) ->
+        (logits (B*K, 1, V), cache).
+
+    The KV cache is row-stable: beams reordering never permutes it. The
+    (B, K, T) ancestor table `src` tracks which row holds each beam's
+    history at each position, and ancestor_bias() turns it into the
+    attention mask consumed by the decoder's grouped beam attention.
     """
     B, K, T = batch_size, num_beams, max_length
 
@@ -67,9 +77,10 @@ def beam_search(
     fin_seqs = jnp.full((B, K, T), pad_token_id, dtype=jnp.int32)
     fin_scores = jnp.full((B, K), NEG_INF)
     fin_flags = jnp.zeros((B, K), dtype=jnp.bool_)
+    src = jnp.zeros((B, K, T), dtype=jnp.int32)
 
     def cond(state):
-        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, cache = state
+        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, src, cache = state
         not_max = cur_len < T
         # early_stopping=False heuristic: a live beam can still enter the
         # finished pool iff its (non-increasing) score beats the worst
@@ -80,9 +91,16 @@ def beam_search(
         return not_max & improvable
 
     def body(state):
-        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, cache = state
+        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, src, cache = state
+        # the token fed at cur_len-1 belongs to live beam j and its K/V are
+        # written to cache row j
+        src = jax.lax.dynamic_update_slice_in_dim(
+            src, jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, 1)),
+            cur_len - 1, axis=2)
+        beam_bias = ancestor_bias(src, cur_len, B, K, T)
         tokens = jax.lax.dynamic_slice_in_dim(live_seqs, cur_len - 1, 1, axis=2)
-        logits, cache = step_fn(cache, tokens.reshape(B * K, 1), cur_len - 1)
+        logits, cache = step_fn(cache, tokens.reshape(B * K, 1), cur_len - 1,
+                                beam_bias)
         V = logits.shape[-1]
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         logp = logp.reshape(B, K, V)
@@ -104,7 +122,9 @@ def beam_search(
         new_live_scores, live_sel = jax.lax.top_k(live_cand_scores, K)
         new_live_seqs = jnp.take_along_axis(cand_seqs, live_sel[:, :, None], axis=1)
         live_beam_sel = jnp.take_along_axis(beam_idx, live_sel, axis=1)
-        cache = _gather_beams(cache, live_beam_sel, B, K)
+        # beams fork/reorder by inheriting the parent's ancestor ROWS — the
+        # cache itself is never touched
+        src = jnp.take_along_axis(src, live_beam_sel[:, :, None], axis=1)
 
         # --- finished pool: merge eos candidates ---
         # HF semantics: only EOS candidates ranked < num_beams among the 2K
@@ -123,11 +143,11 @@ def beam_search(
         new_fin_flags = jnp.take_along_axis(all_flags, fin_sel, axis=1)
 
         return (cur_len + 1, new_live_seqs, new_live_scores, new_fin_seqs,
-                new_fin_scores, new_fin_flags, cache)
+                new_fin_scores, new_fin_flags, src, cache)
 
     state = (jnp.asarray(1, jnp.int32), live_seqs, live_scores, fin_seqs,
-             fin_scores, fin_flags, init_cache)
-    (_, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, _) = \
+             fin_scores, fin_flags, src, init_cache)
+    (_, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, _, _) = \
         jax.lax.while_loop(cond, body, state)
 
     # HF finalize: live beams join the finished pool, best K overall win

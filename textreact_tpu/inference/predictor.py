@@ -27,7 +27,8 @@ class Generator:
         self.dec_config = module.decoder_config
         self.step_model = DecoderStep(decoder_config=self.dec_config,
                                       dtype=module.dtype,
-                                      cache_len=max_length)
+                                      cache_len=max_length,
+                                      beam_groups=num_beams)
         self._fn = None
 
     def _build(self, B: int, L: int, mask_ndim: int):
@@ -58,10 +59,10 @@ class Generator:
                                              enc_mask, 0, mutable=["cache"])
             cache = cache_vars["cache"]
 
-            def step_fn(cache, tokens, pos):
+            def step_fn(cache, tokens, pos, beam_bias):
                 logits, vars_out = step_model.apply(
                     {**step_params, "cache": cache}, tokens, enc, enc_mask,
-                    pos, mutable=["cache"])
+                    pos, beam_bias, mutable=["cache"])
                 return logits, vars_out["cache"]
 
             return beam_search(

@@ -25,6 +25,7 @@ class Decoder(nn.Module):
     dtype: Any = jnp.bfloat16
     decode: bool = False          # enable KV cache for incremental decoding
     cache_len: int = 0            # decode cache length (0: max_position_embeddings)
+    beam_groups: int = 0          # row-stable grouped beam cache (layers.py)
     remat: bool = False
 
     @nn.compact
@@ -33,7 +34,8 @@ class Decoder(nn.Module):
                  attention_mask: Optional[Array] = None,
                  encoder_attention_mask: Optional[Array] = None,
                  position_offset: int | Array = 0,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 beam_bias: Optional[Array] = None) -> Array:
         cfg = self.config
         B, L = input_ids.shape
         if self.decode:
@@ -62,11 +64,14 @@ class Decoder(nn.Module):
         block_cls = TransformerBlock
         if self.remat and not self.decode:
             block_cls = nn.remat(TransformerBlock, static_argnums=(5,))
+        block_kw = {"beam_bias": beam_bias} if self.decode else {}
         for i in range(cfg.num_hidden_layers):
             x = block_cls(cfg, dtype=self.dtype, decode=self.decode,
                           cache_len=self.cache_len,
+                          beam_groups=self.beam_groups,
                           name=f"layer_{i}")(
-                x, self_bias, encoder_states, cross_bias, deterministic)
+                x, self_bias, encoder_states, cross_bias, deterministic,
+                **block_kw)
         logits = MLMHead(cfg, dtype=self.dtype, mlp=True, name="lm_head")(
             x, embedding=embedding)
         return logits

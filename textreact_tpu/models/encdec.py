@@ -89,16 +89,24 @@ class DecoderStep(nn.Module):
     decoder_config: TransformerConfig
     dtype: Any = jnp.bfloat16
     cache_len: int = 0
+    beam_groups: int = 0
 
     @nn.compact
     def __call__(self, token_ids: Array, encoder_states: Array,
-                 encoder_attention_mask: Optional[Array], position_offset):
+                 encoder_attention_mask: Optional[Array], position_offset,
+                 beam_bias: Optional[Array] = None):
+        """With beam_groups=G > 0 the self-attention KV cache uses the
+        row-stable grouped beam layout and beam_bias (B, G, cache_len*G,
+        merged (t, g) order) carries the ancestry mask (see layers.py);
+        beam_groups=0 decodes per-row with plain positional cache masking."""
         logits = Decoder(self.decoder_config, dtype=self.dtype, decode=True,
                          cache_len=self.cache_len,
+                         beam_groups=self.beam_groups,
                          name="decoder")(
             token_ids, encoder_states,
             encoder_attention_mask=encoder_attention_mask,
-            position_offset=position_offset, deterministic=True)
+            position_offset=position_offset, deterministic=True,
+            beam_bias=beam_bias)
         return logits
 
 

@@ -126,18 +126,29 @@ def _flash_attention(q: Array, k: Array, v: Array,
 
 
 class MultiHeadAttention(nn.Module):
-    """Self- or cross-attention; float32 logits/softmax; optional decode cache."""
+    """Self- or cross-attention; float32 logits/softmax; optional decode cache.
+
+    beam_groups > 0 switches the decode KV cache to the row-stable grouped
+    beam layout (Bex, H, T, G, D): beams never permute the cache (XLA moves
+    that multi-GB gather at ~10% of HBM bandwidth); instead each beam
+    attends over all G*T slots of its example under an ancestry bias, and
+    the (head, position, beam) layout makes both the new-token write (one
+    contiguous dynamic_update_slice) and the attention einsum (merged (t,g)
+    KV axis already behind H) transpose-free — a minor-dim transpose of the
+    full cache per layer per step is what made the naive layout slow."""
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
     decode: bool = False
     causal_hint: bool = False   # true in decoder self-attention (flash path)
     cache_len: int = 0          # decode KV-cache length (0: max_position_embeddings)
+    beam_groups: int = 0        # G beams per example (row-stable beam cache)
 
     @nn.compact
     def __call__(self, x: Array, kv: Optional[Array] = None,
                  bias: Optional[Array] = None,
                  mask_kv: Optional[Array] = None,
-                 deterministic: bool = True) -> Array:
+                 deterministic: bool = True,
+                 beam_bias: Optional[Array] = None) -> Array:
         cfg = self.config
         H, D = cfg.num_attention_heads, cfg.head_dim
         kv_in = x if kv is None else kv
@@ -156,27 +167,31 @@ class MultiHeadAttention(nn.Module):
             # as extra query positions over their example's row, which cuts
             # the per-step KV reads by the beam count (the dominant
             # generation cost at L=512).
-            cached_ck = self.variable("cache", "cached_cross_key",
-                                      lambda: proj("key", kv_in))
-            cached_cv = self.variable("cache", "cached_cross_value",
-                                      lambda: proj("value", kv_in))
+            # stored head-major (B, H, L, D): the per-step attention einsums
+            # then read the cache transpose-free (a per-step minor-dim
+            # shuffle of the full cache is what made decoding slow)
+            cached_ck = self.variable(
+                "cache", "cached_cross_key",
+                lambda: proj("key", kv_in).transpose(0, 2, 1, 3))
+            cached_cv = self.variable(
+                "cache", "cached_cross_value",
+                lambda: proj("value", kv_in).transpose(0, 2, 1, 3))
             k, v = cached_ck.value, cached_cv.value
             Bq, Bk = q.shape[0], k.shape[0]
-            if Bq != Bk:
-                assert x.shape[1] == 1 and Bq % Bk == 0, (q.shape, k.shape)
-                G = Bq // Bk
-                q2 = q.reshape(Bk, G, H, D)
-                scores = jnp.einsum("bghd,blhd->bhgl", q2, k,
-                                    preferred_element_type=jnp.float32)
-                scores = scores / jnp.sqrt(D).astype(jnp.float32)
-                if bias is not None:
-                    scores = scores + bias.astype(jnp.float32)  # (Bk,1,1,L)
-                probs = jax.nn.softmax(scores, axis=-1)
-                ctx = jnp.einsum("bhgl,blhd->bghd", probs.astype(self.dtype),
-                                 v, preferred_element_type=jnp.float32)
-                ctx = ctx.astype(self.dtype).reshape(Bq, 1, H * D)
-                return nn.Dense(cfg.hidden_size, kernel_init=init,
-                                dtype=self.dtype, name="output")(ctx)
+            assert x.shape[1] == 1 and Bq % Bk == 0, (q.shape, k.shape)
+            G = Bq // Bk  # 1 when beams == 1: same math, grouped layout
+            q2 = q.reshape(Bk, G, H, D)
+            scores = jnp.einsum("bghd,bhld->bhgl", q2, k,
+                                preferred_element_type=jnp.float32)
+            scores = scores / jnp.sqrt(D).astype(jnp.float32)
+            if bias is not None:
+                scores = scores + bias.astype(jnp.float32)  # (Bk,1,1,L)
+            probs = jax.nn.softmax(scores, axis=-1)
+            ctx = jnp.einsum("bhgl,bhld->bghd", probs.astype(self.dtype),
+                             v, preferred_element_type=jnp.float32)
+            ctx = ctx.astype(self.dtype).reshape(Bq, 1, H * D)
+            return nn.Dense(cfg.hidden_size, kernel_init=init,
+                            dtype=self.dtype, name="output")(ctx)
         else:
             k = proj("key", kv_in)
             v = proj("value", kv_in)
@@ -214,8 +229,60 @@ class MultiHeadAttention(nn.Module):
             if self.causal_hint:
                 bias = bias + causal_bias(x.shape[1], kv_in.shape[1])
 
-        if self.decode and kv is None:
-            # fixed-size KV cache for incremental decoding
+        if self.decode and kv is None and self.beam_groups > 0:
+            # Row-stable grouped beam decode (ancestry-masked attention over
+            # the UNPERMUTED cache). Beam reorderings never move K/V; each
+            # beam attends over all G*T slots of its example, and beam_bias
+            # (built by inference/beam.py from the ancestor table, merged
+            # (t, g) axis order, position validity folded in) admits exactly
+            # one row per valid position — its ancestor's.
+            G = self.beam_groups
+            Bex = x.shape[0] // G
+            cache_len = self.cache_len or cfg.max_position_embeddings
+            is_initialized = self.has_variable("cache", "cached_key")
+            cached_k = self.variable("cache", "cached_key", jnp.zeros,
+                                     (Bex, H, cache_len, G, D), self.dtype)
+            cached_v = self.variable("cache", "cached_value", jnp.zeros,
+                                     (Bex, H, cache_len, G, D), self.dtype)
+            cache_index = self.variable("cache", "cache_index",
+                                        lambda: jnp.array(0, dtype=jnp.int32))
+            if is_initialized:
+                assert x.shape[1] == 1, "grouped beam decode is 1 token/step"
+                idx = cache_index.value
+                zero = jnp.zeros((), dtype=idx.dtype)
+                # (B*G, 1, H, D) -> (Bex, H, 1, G, D): tiny transpose of the
+                # NEW token only; the big cache is written contiguously
+                k_new = k.reshape(Bex, G, H, D).transpose(0, 2, 1, 3)[:, :, None]
+                v_new = v.reshape(Bex, G, H, D).transpose(0, 2, 1, 3)[:, :, None]
+                k_all = jax.lax.dynamic_update_slice(
+                    cached_k.value, k_new, (zero, zero, idx, zero, zero))
+                v_all = jax.lax.dynamic_update_slice(
+                    cached_v.value, v_new, (zero, zero, idx, zero, zero))
+                cached_k.value = k_all
+                cached_v.value = v_all
+                cache_index.value = idx + 1
+                if beam_bias is None:
+                    raise ValueError("beam_groups decode requires beam_bias")
+                q2 = q.reshape(Bex, G, H, D)
+                k2 = k_all.reshape(Bex, H, cache_len * G, D)
+                v2 = v_all.reshape(Bex, H, cache_len * G, D)
+                scores = jnp.einsum("bghd,bhkd->bhgk", q2, k2,
+                                    preferred_element_type=jnp.float32)
+                scores = scores / jnp.sqrt(D).astype(jnp.float32)
+                scores = scores + beam_bias[:, None].astype(jnp.float32)
+                probs = jax.nn.softmax(scores, axis=-1)
+                ctx = jnp.einsum("bhgk,bhkd->bghd",
+                                 probs.astype(self.dtype), v2,
+                                 preferred_element_type=jnp.float32)
+                ctx = ctx.astype(self.dtype).reshape(x.shape[0], 1, H * D)
+                return nn.Dense(cfg.hidden_size, kernel_init=init,
+                                dtype=self.dtype, name="output")(ctx)
+            # cache-building pass: fall through to plain attention on the
+            # single dummy token (output unused, variables now shaped)
+        elif self.decode and kv is None:
+            if beam_bias is not None:
+                raise ValueError("beam_bias requires beam_groups > 0")
+            # fixed-size per-row KV cache for incremental decoding
             is_initialized = self.has_variable("cache", "cached_key")
             cache_len = self.cache_len or cfg.max_position_embeddings
             cached_k = self.variable("cache", "cached_key", jnp.zeros,
@@ -279,6 +346,7 @@ class TransformerBlock(nn.Module):
     decode: bool = False
     causal: bool = False
     cache_len: int = 0
+    beam_groups: int = 0
 
     @nn.compact
     def __call__(self, x: Array, self_bias: Optional[Array] = None,
@@ -286,7 +354,8 @@ class TransformerBlock(nn.Module):
                  cross_bias: Optional[Array] = None,
                  deterministic: bool = True,
                  self_mask: Optional[Array] = None,
-                 cross_mask: Optional[Array] = None) -> Array:
+                 cross_mask: Optional[Array] = None,
+                 beam_bias: Optional[Array] = None) -> Array:
         cfg = self.config
 
         def dropout(y):
@@ -295,8 +364,10 @@ class TransformerBlock(nn.Module):
         attn = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
                                   causal_hint=self.causal,
                                   cache_len=self.cache_len,
+                                  beam_groups=self.beam_groups,
                                   name="attention")(
-            x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic)
+            x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic,
+            beam_bias=beam_bias)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="attention_norm")(x + dropout(attn)).astype(self.dtype)
         if cfg.add_cross_attention and encoder_states is not None:
