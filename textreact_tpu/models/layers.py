@@ -240,40 +240,57 @@ class MultiHeadAttention(nn.Module):
             Bex = x.shape[0] // G
             cache_len = self.cache_len or cfg.max_position_embeddings
             is_initialized = self.has_variable("cache", "cached_key")
+            # (Bex, H, D, T, G): head-major, D as sublanes, (t, g) merged as
+            # lanes — the ops/decode_attention.py kernel (and the XLA
+            # fallback einsums) read it transpose-free
             cached_k = self.variable("cache", "cached_key", jnp.zeros,
-                                     (Bex, H, cache_len, G, D), self.dtype)
+                                     (Bex, H, D, cache_len, G), self.dtype)
             cached_v = self.variable("cache", "cached_value", jnp.zeros,
-                                     (Bex, H, cache_len, G, D), self.dtype)
+                                     (Bex, H, D, cache_len, G), self.dtype)
             cache_index = self.variable("cache", "cache_index",
                                         lambda: jnp.array(0, dtype=jnp.int32))
             if is_initialized:
                 assert x.shape[1] == 1, "grouped beam decode is 1 token/step"
                 idx = cache_index.value
                 zero = jnp.zeros((), dtype=idx.dtype)
-                # (B*G, 1, H, D) -> (Bex, H, 1, G, D): tiny transpose of the
+                # (B*G, 1, H, D) -> (Bex, H, D, 1, G): tiny transpose of the
                 # NEW token only; the big cache is written contiguously
-                k_new = k.reshape(Bex, G, H, D).transpose(0, 2, 1, 3)[:, :, None]
-                v_new = v.reshape(Bex, G, H, D).transpose(0, 2, 1, 3)[:, :, None]
+                k_new = k.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)[:, :, :, None]
+                v_new = v.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)[:, :, :, None]
                 k_all = jax.lax.dynamic_update_slice(
-                    cached_k.value, k_new, (zero, zero, idx, zero, zero))
+                    cached_k.value, k_new, (zero, zero, zero, idx, zero))
                 v_all = jax.lax.dynamic_update_slice(
-                    cached_v.value, v_new, (zero, zero, idx, zero, zero))
+                    cached_v.value, v_new, (zero, zero, zero, idx, zero))
                 cached_k.value = k_all
                 cached_v.value = v_all
                 cache_index.value = idx + 1
                 if beam_bias is None:
                     raise ValueError("beam_groups decode requires beam_bias")
                 q2 = q.reshape(Bex, G, H, D)
-                k2 = k_all.reshape(Bex, H, cache_len * G, D)
-                v2 = v_all.reshape(Bex, H, cache_len * G, D)
-                scores = jnp.einsum("bghd,bhkd->bhgk", q2, k2,
-                                    preferred_element_type=jnp.float32)
-                scores = scores / jnp.sqrt(D).astype(jnp.float32)
-                scores = scores + beam_bias[:, None].astype(jnp.float32)
-                probs = jax.nn.softmax(scores, axis=-1)
-                ctx = jnp.einsum("bhgk,bhkd->bghd",
-                                 probs.astype(self.dtype), v2,
-                                 preferred_element_type=jnp.float32)
+                sm_scale = 1.0 / float(D) ** 0.5
+                if (cfg.decode_attention_impl == "fused"
+                        and jax.default_backend() == "tpu"):
+                    # fused kernel: on-chip streaming softmax + t-block skip
+                    # past the decoded prefix (traffic ∝ cur_len, not T).
+                    # NOT the default: at beam counts <= ~20 the XLA batched
+                    # einsum below measures faster (12.6 vs 14.9 ms/step at
+                    # retro scale) — the kernel's per-head (G x BT*G)
+                    # matmuls are latency-bound at tiny G.
+                    from ..ops.decode_attention import grouped_decode_attention
+                    ctx = grouped_decode_attention(
+                        q2, k_all, v_all, beam_bias, idx + 1, sm_scale,
+                        interpret=False)
+                else:
+                    k2 = k_all.reshape(Bex, H, D, cache_len * G)
+                    v2 = v_all.reshape(Bex, H, D, cache_len * G)
+                    scores = jnp.einsum("bghd,bhdk->bhgk", q2, k2,
+                                        preferred_element_type=jnp.float32)
+                    scores = scores * sm_scale
+                    scores = scores + beam_bias[:, None].astype(jnp.float32)
+                    probs = jax.nn.softmax(scores, axis=-1)
+                    ctx = jnp.einsum("bhgk,bhdk->bghd",
+                                     probs.astype(self.dtype), v2,
+                                     preferred_element_type=jnp.float32)
                 ctx = ctx.astype(self.dtype).reshape(x.shape[0], 1, H * D)
                 return nn.Dense(cfg.hidden_size, kernel_init=init,
                                 dtype=self.dtype, name="output")(ctx)
