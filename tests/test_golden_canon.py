@@ -63,6 +63,35 @@ def test_distinct_molecules_fingerprint_apart():
             assert len(set(fps)) == len(fps), family
 
 
+RXN_GROUPS = [
+    # esterification spelled with reordered fragments / kekulé / atom order
+    ["CCO.CC(=O)O>>CC(=O)OCC",
+     "CC(=O)O.CCO>>CC(=O)OCC",
+     "OCC.CC(O)=O>>CCOC(C)=O"],
+    # aromatic substitution: kekulé vs aromatic ring spelling
+    ["c1ccccc1Br.CCN>>c1ccccc1NCC",
+     "BrC1=CC=CC=C1.NCC>>C1=CC=CC=C1NCC"],
+]
+
+
+@pytest.mark.parametrize("group", RXN_GROUPS,
+                         ids=["esterification", "aromatic-sub"])
+def test_reaction_spellings_canonicalize_and_fingerprint_together(group):
+    """Reaction-level invariance: same reaction in different spellings must
+    share canonical reaction SMILES AND the retrieval difference
+    fingerprint (reference retrieve_faiss.py:18-27 — neighbor sets would
+    otherwise depend on how the dataset spelled the reaction)."""
+    import numpy as np
+
+    from textreact_tpu.chem import (canonical_rxn_smiles,
+                                    reaction_difference_fingerprint)
+    canons = {canonical_rxn_smiles(r) for r in group}
+    assert len(canons) == 1, canons
+    fps = [reaction_difference_fingerprint(r) for r in group]
+    for fp in fps[1:]:
+        assert np.array_equal(fp, fps[0])
+
+
 @pytest.mark.skipif(not HAS_RDKIT, reason="RDKit not in image")
 def test_rdkit_bridge_agrees_with_golden_classes():
     from rdkit import Chem
