@@ -87,6 +87,39 @@ def test_wordpiece_tokenizer():
         assert tok.decode(enc["input_ids"]) == "stirred , with acid"
 
 
+def test_wordpiece_cache_matches_uncached():
+    """The word-level memoization and the ASCII _clean fast path must be
+    pure speedups: tokenization of arbitrary text (ascii + unicode,
+    punctuation runs, control chars, CJK, accents) is identical with warm
+    cache, cold cache, and the uncached reference algorithm."""
+    import random
+
+    from textreact_tpu.tokenizers.text import BasicTextTokenizer
+
+    def reference_basic(text, lower=True):
+        b = BasicTextTokenizer.__new__(BasicTextTokenizer)
+        b.lower_case = lower
+        text = b._clean(text)
+        text = b._pad_cjk(text)
+        tokens = []
+        for word in text.split():
+            if lower:
+                word = b._strip_accents(word.lower())
+            tokens.extend(b._split_punct(word))
+        return tokens
+
+    rng = random.Random(0)
+    pool = ["the", "réaction", "STIRRED", "at", "25°C", "...", "a,b;c",
+            "(aq)", "化合物", "naïve", "x\ty", "a\x00b", "\x0bz", "中文词",
+            "H2O.", "[cat]", "", "-78", "±5%", "ΔG", "über"]
+    basic = BasicTextTokenizer()
+    for _ in range(300):
+        text = " ".join(rng.choices(pool, k=rng.randrange(0, 12)))
+        assert basic.tokenize(text) == reference_basic(text), repr(text)
+        # warm-cache second pass identical
+        assert basic.tokenize(text) == reference_basic(text), repr(text)
+
+
 def test_joint_tokenizer_offsets():
     with tempfile.TemporaryDirectory() as d:
         text_tok = WordPieceTokenizer(_tiny_text_vocab(d))

@@ -45,21 +45,44 @@ def _is_cjk(cp: int) -> bool:
     )
 
 
+# ASCII fast path for _clean: \t\n\r and space map to " ", other control
+# chars (<0x20, 0x7F) are deleted, everything else passes through — exactly
+# the per-char unicode-category path restricted to ASCII inputs.
+_ASCII_CLEAN = {cp: (" " if chr(cp) in " \t\n\r" else
+                     (None if cp < 32 or cp == 127 else chr(cp)))
+                for cp in range(128)}
+
+
 class BasicTextTokenizer:
     """Cleanup + lowercase + accent-strip + punctuation/CJK splitting."""
 
     def __init__(self, lower_case: bool = True):
         self.lower_case = lower_case
+        # raw word -> basic tokens; natural text is Zipfian, so this makes
+        # repeat tokenization a dict lookup (bounded; see _CACHE_CAP)
+        self._word_cache: dict = {}
+
+    _CACHE_CAP = 1 << 18
 
     def tokenize(self, text: str) -> List[str]:
-        text = self._clean(text)
-        text = self._pad_cjk(text)
+        if text.isascii():
+            text = text.translate(_ASCII_CLEAN)
+            # ASCII has no CJK: skip _pad_cjk
+        else:
+            text = self._clean(text)
+            text = self._pad_cjk(text)
         tokens: List[str] = []
+        cache = self._word_cache
         for word in text.split():
-            if self.lower_case:
-                word = word.lower()
-                word = self._strip_accents(word)
-            tokens.extend(self._split_punct(word))
+            hit = cache.get(word)
+            if hit is None:
+                w = word
+                if self.lower_case:
+                    w = self._strip_accents(w.lower())
+                hit = self._split_punct(w)
+                if len(cache) < self._CACHE_CAP:
+                    cache[word] = hit
+            tokens.extend(hit)
         return tokens
 
     @staticmethod
@@ -115,6 +138,7 @@ class WordPieceTokenizer(BaseTokenizer):
         self.vocab = Vocab.from_file(vocab_file, self.unk_token)
         self.basic = BasicTextTokenizer(lower_case=lower_case)
         self.max_chars_per_word = max_chars_per_word
+        self._piece_cache: dict = {}  # basic token -> wordpiece list
 
     def __len__(self) -> int:
         return len(self.vocab)
@@ -151,8 +175,14 @@ class WordPieceTokenizer(BaseTokenizer):
 
     def tokenize(self, text: str) -> List[str]:
         tokens: List[str] = []
+        cache = self._piece_cache
         for word in self.basic.tokenize(text):
-            tokens.extend(self.wordpiece(word))
+            hit = cache.get(word)
+            if hit is None:
+                hit = self.wordpiece(word)
+                if len(cache) < BasicTextTokenizer._CACHE_CAP:
+                    cache[word] = hit
+            tokens.extend(hit)
         return tokens
 
     def __call__(self, text: str) -> Encoding:
