@@ -153,6 +153,15 @@ def test_split_token_two_solvents():
     assert slots["reagent2"][0] == ""
 
 
+def test_assign_conditions_requires_all_fragments():
+    from textreact_tpu.preprocess.aides import assign_conditions
+    roles = {"c1": ["Pd", "[Na+].[OH-]"], "s1": ["CCO", "ClCCl"],
+             "r1": ["O"]}
+    got = assign_conditions({"Pd", "CCO", "O", "[Na+]"}, roles)
+    # [Na+].[OH-] needs BOTH fragments present; only [Na+] is
+    assert got == {"c1": ["Pd"], "s1": ["CCO"], "r1": ["O"]}
+
+
 def test_extract_non_smiles_and_merge_names():
     vals = ["CCO", "tetrahydrofuran", "CCO", "tetrahydrofuran", "not smiles("]
     names = extract_non_smiles(vals)

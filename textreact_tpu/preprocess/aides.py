@@ -59,3 +59,28 @@ def brics_fragments(smiles_list: Iterable[str]) -> Counter:
             continue
         counter.update(BRICS.BRICSDecompose(mol))
     return counter
+
+
+def assign_conditions(reagent_smiles_set: Iterable[str],
+                      role_compounds: Dict[str, Iterable[str]]
+                      ) -> Dict[str, List[str]]:
+    """Match a reaction's reagent molecules against per-role condition
+    vocabularies (role of get_dataset_for_condition.py:15-48, the
+    reference's WIP condition-assignment helper for USPTO-1k-TPL): a known
+    condition compound (possibly multi-fragment) is assigned to a role iff
+    ALL of its fragments appear among the reaction's reagent molecules.
+
+    reagent_smiles_set: canonical single-fragment SMILES present in the
+    reaction. role_compounds: role -> iterable of known condition compounds
+    ('.'-joined fragments). Returns role -> matched compounds (input order).
+    """
+    present = set(reagent_smiles_set)
+    out: Dict[str, List[str]] = {}
+    for role, compounds in role_compounds.items():
+        matched: List[str] = []
+        for compound in compounds:
+            frags = [f for f in str(compound).split(".") if f]
+            if frags and all(f in present for f in frags):
+                matched.append(compound)
+        out[role] = matched
+    return out
