@@ -66,6 +66,36 @@ def test_dp_and_tp_match_single_device():
         np.testing.assert_allclose(gn, gn_1, rtol=1e-3)
 
 
+def test_generation_with_tp_sharded_params_matches_single_device():
+    """Beam generation must run unchanged on TP-sharded parameters (the
+    trainer calls Generator on the mesh-placed train state): sequences and
+    scores equal the replicated single-device result."""
+    from textreact_tpu.inference.predictor import Generator
+
+    module = EncoderDecoder(encoder_config=ENC, decoder_config=DEC,
+                            dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    B = 4
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (B, 32)), jnp.int32),
+        "attention_mask": jnp.ones((B, 32), jnp.int32),
+    }
+    params = module.init(jax.random.PRNGKey(3),
+                         input_ids=batch["input_ids"],
+                         attention_mask=batch["attention_mask"],
+                         decoder_input_ids=jnp.zeros((B, 4), jnp.int32),
+                         decoder_attention_mask=jnp.ones((B, 4), jnp.int32))
+    ref_seqs, ref_scores = Generator(module, params, num_beams=3,
+                                     max_length=8).generate(batch)
+    mesh = make_mesh(2, 4)
+    with mesh:
+        sharded = shard_params(mesh, params)
+        seqs, scores = Generator(module, sharded, num_beams=3,
+                                 max_length=8).generate(batch)
+    np.testing.assert_array_equal(seqs, ref_seqs)
+    np.testing.assert_allclose(scores, ref_scores, rtol=1e-5, atol=1e-5)
+
+
 def test_param_spec_rules():
     from jax.tree_util import DictKey
     import numpy as np
