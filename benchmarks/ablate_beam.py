@@ -3,6 +3,8 @@
 Worst case from NOTES.md: B=32, beams=20, dec_len=160, untrained params
 (no early EOS) -> 8.2 s/batch in round 1 (~51 ms per decode step).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import sys
 import time
 

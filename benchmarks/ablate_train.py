@@ -1,4 +1,6 @@
 """Ablation timing of the flagship train step on one TPU chip."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import time
 
 import jax
@@ -98,15 +100,17 @@ def full_step(module, cfg, batch):
     return t_fwd, t_fwdbwd, t_full
 
 
-import sys
-sel = sys.argv[1] if len(sys.argv) > 1 else ("skip" if __name__ != "__main__" else "all")
-for name, kw in [("flash+mlm+drop", dict()),
-                 ("flash+mlm+NOdrop", dict(dropout=False)),
-                 ("flash+NOmlm+drop", dict(mlm=False)),
-                 ("xla+mlm+drop", dict(attn="xla"))]:
-    if sel != "all" and sel != name: continue
-    module, cfg = make(**kw)
-    b = batch_for(mlm=cfg.mlm)
-    t_fwd, t_fwdbwd, t_full = full_step(module, cfg, b)
-    print(f"{name:22s} fwd {t_fwd*1e3:7.1f} ms  fwd+bwd {t_fwdbwd*1e3:7.1f} ms  "
-          f"full {t_full*1e3:7.1f} ms  ({B/t_full:.0f} ex/s)", flush=True)
+if __name__ == "__main__":
+    import sys
+    sel = sys.argv[1] if len(sys.argv) > 1 else "all"
+    for name, kw in [("flash+mlm+drop", dict()),
+                     ("flash+mlm+NOdrop", dict(dropout=False)),
+                     ("flash+NOmlm+drop", dict(mlm=False)),
+                     ("xla+mlm+drop", dict(attn="xla"))]:
+        if sel != "all" and sel != name:
+            continue
+        module, cfg = make(**kw)
+        b = batch_for(mlm=cfg.mlm)
+        t_fwd, t_fwdbwd, t_full = full_step(module, cfg, b)
+        print(f"{name:22s} fwd {t_fwd*1e3:7.1f} ms  fwd+bwd {t_fwdbwd*1e3:7.1f} ms  "
+              f"full {t_full*1e3:7.1f} ms  ({B/t_full:.0f} ex/s)", flush=True)

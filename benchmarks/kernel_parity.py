@@ -1,4 +1,6 @@
 """On-chip parity check of the fused grouped decode attention kernel."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import sys
 
 import jax

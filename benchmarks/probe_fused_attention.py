@@ -1,3 +1,6 @@
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import jax, jax.numpy as jnp, numpy as np
 from textreact_tpu.ops.fused_attention import fused_dropout_attention
 assert jax.default_backend() != "cpu"

@@ -1,6 +1,8 @@
 """Microbenchmark beam-permute variants INSIDE a device loop (the relay
 costs ~31 ms per call, so per-op timing must amortize over many iterations
 in one jit call)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import sys
 import time
 

@@ -1,4 +1,6 @@
 """In-loop microbench of the ancestry-masked grouped decode attention."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import sys
 import time
 

@@ -1,7 +1,10 @@
+
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 import time
 import jax, jax.numpy as jnp, numpy as np
 import optax
-from _ablate_train import make, batch_for, B
+from ablate_train import make, batch_for, B
 from textreact_tpu.train.optim import make_optimizer
 from textreact_tpu.train.step import TrainState, make_loss_fn
 

@@ -116,6 +116,9 @@ def test_ionic_strip_and_split():
     # NaN reagent keeps the row with an empty known slot (3.0:96-98)
     known, unknown = split_reagent_combination(float("nan"), table)
     assert known == [""] and unknown == []
+    # unparseable fragment (chemical name) classifies as unknown, not crash
+    known, unknown = split_reagent_combination("CCO.someName", table)
+    assert known == ["CCO"] and unknown == ["someName"]
 
 
 def test_filter_ionic_reagents_stage3():

@@ -159,6 +159,29 @@ def test_collator_fixed_shapes(cond_root):
     assert batch.size == 3
 
 
+def test_collator_static_shapes_are_content_independent(cond_root):
+    """static_shapes mode (multi-process training): every array dimension
+    must be a function of cfg only, never of batch content — hosts collate
+    different shards but run one global SPMD program."""
+    cfg = _cfg(cond_root, mlm=True)
+    enc_tok, dec_tok = _tokenizers(cfg)
+    ds = ConditionDataset(cfg, os.path.join(cond_root, "train.csv"),
+                          enc_tok, dec_tok, split="train")
+    ds.load_corpus(read_corpus(cfg.corpus_file),
+                   os.path.join(cond_root, "train_nn.json"))
+    coll = Collator(cfg, enc_tok.pad_token_id, dec_tok.pad_token_id,
+                    static_shapes=True)
+    shapes = []
+    for idxs in ([0], [1, 2], [3, 4, 5]):  # different content + batch fill
+        examples = [ds.example(i, rng=random.Random(i)) for i in idxs]
+        batch = coll(examples, fixed_batch=4)
+        shapes.append({k: v.shape for k, v in batch.arrays.items()})
+    assert shapes[0] == shapes[1] == shapes[2], shapes
+    assert shapes[0]["input_ids"] == (4, cfg.max_length)
+    assert shapes[0]["decoder_input_ids"] == (4, cfg.max_dec_length)
+    assert shapes[0]["mlm_labels"] == (4, cfg.max_length)
+
+
 def test_loader_determinism(cond_root):
     cfg = _cfg(cond_root, mlm=True)
     enc_tok, dec_tok = _tokenizers(cfg)

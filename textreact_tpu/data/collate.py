@@ -59,13 +59,26 @@ def _pad_2d(masks: Sequence[Sequence[Sequence[int]]], length: int,
 
 
 class Collator:
+    """static_shapes=True pads EVERY content-dependent dimension to its
+    static cap (enc len -> max_length, dec len -> max_dec_length, mlm
+    prefix -> enc len, atoms -> max_length, bonds -> 2*max_length). Needed
+    for multi-process training: each host collates its own shard, and a
+    batch shape derived from host-local content (length buckets, batch-max
+    atom/bond counts) would differ across hosts — the SPMD train step is
+    one global program, so hosts MUST produce identical shapes every step
+    (the reference gets this implicitly from DistributedSampler + dynamic
+    torch shapes; XLA does not allow it). Single-host runs keep the
+    bucketed shapes."""
+
     def __init__(self, cfg, enc_pad_id: int, dec_pad_id: int,
-                 num_atom_templates: int = 0, num_bond_templates: int = 0):
+                 num_atom_templates: int = 0, num_bond_templates: int = 0,
+                 static_shapes: bool = False):
         self.cfg = cfg
         self.enc_pad_id = enc_pad_id
         self.dec_pad_id = dec_pad_id
         self.num_atom_templates = num_atom_templates
         self.num_bond_templates = num_bond_templates
+        self.static_shapes = static_shapes
 
     def __call__(self, examples: List[Dict[str, Any]],
                  fixed_batch: Optional[int] = None,
@@ -74,6 +87,9 @@ class Collator:
         cfg = self.cfg
         B = fixed_batch or len(examples)
         assert B >= len(examples)
+        if self.static_shapes:
+            fixed_enc_len = fixed_enc_len or cfg.max_length
+            fixed_dec_len = fixed_dec_len or cfg.max_dec_length
         enc_lens = [len(ex["input_ids"]) for ex in examples]
         L = fixed_enc_len or bucket_length(
             min(max(enc_lens), cfg.max_length), tuple(b for b in cfg.length_buckets if b <= cfg.max_length) or (cfg.max_length,))
@@ -97,8 +113,11 @@ class Collator:
                  for ex in examples], L, 0, B)
 
         if "mlm_labels" in examples[0]:
-            max_m = max(len(ex["mlm_labels"]) for ex in examples)
-            M = min(L, max(16, -(-max_m // 16) * 16))  # multiple of 16
+            if self.static_shapes:
+                M = L
+            else:
+                max_m = max(len(ex["mlm_labels"]) for ex in examples)
+                M = min(L, max(16, -(-max_m // 16) * 16))  # multiple of 16
             arrays["mlm_labels"] = _pad_1d(
                 [ex["mlm_labels"] for ex in examples], M, IGNORE_INDEX, B)
 
@@ -116,7 +135,10 @@ class Collator:
         # --- template-based labels (reference dataset.py:362-380) ---
         if "atom_indices" in examples[0]:
             num_atoms = [len(ex["atom_indices"]) for ex in examples]
-            A = max(8, -(-max(num_atoms) // 8) * 8)
+            if self.static_shapes:
+                A = -(-cfg.max_length // 8) * 8  # atoms are encoder positions
+            else:
+                A = max(8, -(-max(num_atoms) // 8) * 8)
             arrays["atom_indices"] = _pad_1d(
                 [ex["atom_indices"] for ex in examples], A, 0, B)
             arrays["atom_mask"] = _pad_1d(
@@ -128,8 +150,11 @@ class Collator:
             # bonds (utils.py:87), so logits are only ever needed at bond
             # pairs. This turns O(A^2 * n_templates) logits into
             # O(num_bonds * n_templates).
-            max_bonds = max((len(b) for b in host["bonds"]), default=0)
-            MB = max(8, -(-max(max_bonds, 1) // 8) * 8)
+            if self.static_shapes:
+                MB = -(-(2 * cfg.max_length) // 8) * 8
+            else:
+                max_bonds = max((len(b) for b in host["bonds"]), default=0)
+                MB = max(8, -(-max(max_bonds, 1) // 8) * 8)
             bond_pairs = np.zeros((B, MB, 2), dtype=np.int32)
             bond_mask = np.zeros((B, MB), dtype=np.int32)
             for i, bonds in enumerate(host["bonds"]):

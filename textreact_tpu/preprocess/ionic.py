@@ -33,7 +33,9 @@ _DEFAULT_TABLE = os.path.join(os.path.dirname(__file__), "..", "assets",
 def mol_charge(smiles: str) -> Tuple[str, bool]:
     """Classify one fragment by formal charges (reference get_mol_charge,
     utils.py:163-191). Returns (class, neutralization) where neutralization
-    is True iff the fragment holds both + and - atoms (an inner salt)."""
+    is True iff the fragment holds both + and - atoms (an inner salt).
+    Raises SmilesParseError for unparseable input — callers decide the
+    policy (split_reagent_combination treats it as 'unknown')."""
     from ..chem import parse_smiles
     mol = parse_smiles(smiles)
     positive = [a.charge for a in mol.atoms if a.charge > 0]
@@ -108,10 +110,19 @@ def split_reagent_combination(reagent: Optional[str],
         return [""], []  # NaN reagent keeps the row (3.0:96-98 else-branch)
     frags = [canonical_smiles(f) for f in str(reagent).split(".") if f]
     remaining, known_ionic = table.strip(frags)
+    from ..chem.mol import SmilesParseError
     neutral, unknown = [], []
     for f in remaining:
         if not f:
             continue
-        flag, _ = mol_charge(f)
+        try:
+            flag, _ = mol_charge(f)
+        except (SmilesParseError, ValueError):
+            # fragment outside the parser's subset (e.g. a chemical name):
+            # unknown, like an RDKit MolFromSmiles failure in the reference
+            # pipeline — it vanishes from the list; the row survives only
+            # if something known remains
+            unknown.append(f)
+            continue
         (neutral if flag == MOL_CHARGE_CLASS[2] else unknown).append(f)
     return neutral + known_ionic, unknown

@@ -55,8 +55,13 @@ class Trainer:
         else:
             self.dec_pad_id = self.dec_tokenizer.pad_token_id
 
+        # multi-process runs need host-content-independent batch shapes:
+        # each host collates its own shard but the SPMD step is one global
+        # program, so length buckets / batch-max atom counts would diverge
+        # across hosts and hang or mis-assemble the global array
         self.collator = Collator(cfg, self.enc_tokenizer.pad_token_id,
-                                 self.dec_pad_id)
+                                 self.dec_pad_id,
+                                 static_shapes=jax.process_count() > 1)
         self.train_dataset = None
         self.val_dataset = None
         self.test_dataset = None
