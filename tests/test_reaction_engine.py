@@ -1,0 +1,143 @@
+"""Native SMARTS matcher + reaction engine + RDKit-free template decoding.
+
+Hand-authored chemistry (ester hydrolysis, aryl bromide, amide coupling)
+with certain expected reactants pins the decode semantics of reference
+template_decoder.py without RDKit in the image.
+"""
+
+import os
+
+import pandas as pd
+import pytest
+
+from textreact_tpu.chem import canonical_smiles, parse_smiles
+from textreact_tpu.chem.reaction import mol_fragments_smiles, run_retro_template
+from textreact_tpu.chem.smarts import find_matches, parse_smarts
+from textreact_tpu.evaluation._own_template_apply import apply_ranked_edits
+
+ESTER_TPL = ("[C:1](=[O:2])-[O;H0;D2;+0:3]>>"
+             "[C:1](=[O:2])-[OH;D1;+0:4].[OH;D1;+0:3]")
+ESTER_INFO = {"edit_site": {"B": [(1, 3)]},
+              "change_H": {1: 0, 2: 0, 3: 1},
+              "change_C": {1: 0, 2: 0, 3: 0},
+              "change_S": {1: 0, 2: 0, 3: 0}}
+
+AMIDE_TPL = ("[C:1](=[O:2])-[N;H1;D2;+0:3]>>"
+             "[C:1](=[O:2])-[OH;D1;+0:4].[NH2;D1;+0:3]")
+AMIDE_INFO = {"edit_site": {"B": [(1, 3)]},
+              "change_H": {1: 0, 2: 0, 3: 1},
+              "change_C": {1: 0, 2: 0, 3: 0},
+              "change_S": {1: 0, 2: 0, 3: 0}}
+
+BR_TPL = "[Br;H0;D1;+0:1]-[c:2]>>[Br;H0;D1;+0:1]-[Br;H0;D1;+0:3].[cH:2]"
+BR_INFO = {"edit_site": {"B": [(1, 2)]},
+           "change_H": {1: 0, 2: 1}, "change_C": {1: 0, 2: 0},
+           "change_S": {1: 0, 2: 0}}
+
+
+def test_smarts_predicates():
+    mol = parse_smiles("CC(=O)Oc1ccc(N)cc1")
+    assert len(find_matches(parse_smarts("[OH0;D2]"), mol)) == 1  # ester O
+    assert len(find_matches(parse_smarts("[NH2;D1;+0]"), mol)) == 1
+    assert len(find_matches(parse_smarts("c"), mol)) == 6
+    assert len(find_matches(parse_smarts("[c;!H1]"), mol)) == 2  # subst. ring C
+    assert len(find_matches(parse_smarts("[#6;A]"), mol)) == 2   # aliphatic C
+    assert len(find_matches(parse_smarts("[O,N;D1]"), mol)) == 2  # =O and NH2
+    # bond specs: '=' matches only the carbonyl, ':' only ring bonds
+    assert len(find_matches(parse_smarts("[C]=[O]"), mol)) == 1
+    assert len(find_matches(parse_smarts("c:c"), mol)) == 12     # both dirs
+    assert len(find_matches(parse_smarts("[C]#[N]"), mol)) == 0
+
+
+def test_run_retro_template_ester():
+    mol = parse_smiles("CCOC(C)=O")
+    outs = run_retro_template(mol, f"({ESTER_TPL.split('>>')[0]})>>"
+                                   f"({ESTER_TPL.split('>>')[1]})")
+    assert len(outs) == 1
+    assert mol_fragments_smiles(outs[0].mol) == canonical_smiles("CC(=O)O.CCO")
+    # bookkeeping: map 1 -> ester carbon (idx 3), map 3 -> ester O (idx 2)
+    assert outs[0].map_to_product[1] == 3
+    assert outs[0].map_to_product[3] == 2
+
+
+def test_decode_requires_matching_site():
+    bond_templates = {1: ESTER_TPL}
+    infos = {ESTER_TPL: ESTER_INFO}
+    hit = apply_ranked_edits([("b", (3, 2), 1, 0.9)], "CCOC(C)=O", {},
+                             bond_templates, infos, 5)
+    assert hit == [canonical_smiles("CC(=O)O.CCO")]
+    miss = apply_ranked_edits([("b", (0, 1), 1, 0.9)], "CCOC(C)=O", {},
+                              bond_templates, infos, 5)
+    assert miss == []
+
+
+def test_decode_walks_ranked_list_and_dedupes():
+    bond_templates = {1: ESTER_TPL, 2: AMIDE_TPL}
+    infos = {ESTER_TPL: ESTER_INFO, AMIDE_TPL: AMIDE_INFO}
+    # paracetamol-like amide: acetanilide CC(=O)Nc1ccccc1 (amide C idx 1, N idx 3)
+    preds = [("b", (1, 3), 1, 0.9),   # ester template at amide site: no match
+             ("b", (1, 3), 2, 0.8),   # amide template: decodes
+             ("b", (1, 3), 2, 0.7)]   # duplicate: deduped
+    out = apply_ranked_edits(preds, "CC(=O)Nc1ccccc1", {}, bond_templates,
+                             infos, 5)
+    assert out == [canonical_smiles("CC(=O)O.Nc1ccccc1")]
+
+
+def test_decode_aromatic_bromide():
+    out = apply_ranked_edits([("b", (0, 1), 1, 0.9)], "Brc1ccccc1", {},
+                             {1: BR_TPL}, {BR_TPL: BR_INFO}, 5)
+    assert out == [canonical_smiles("BrBr.c1ccccc1")]
+
+
+def test_decode_rejects_negative_h():
+    info = {"edit_site": {"B": [(1, 3)]},
+            "change_H": {1: 0, 2: 0, 3: -2},  # ester O has 0 H in product
+            "change_C": {1: 0, 2: 0, 3: 0},
+            "change_S": {1: 0, 2: 0, 3: 0}}
+    out = apply_ranked_edits([("b", (3, 2), 1, 0.9)], "CCOC(C)=O", {},
+                             {1: ESTER_TPL}, {ESTER_TPL: info}, 5)
+    assert out == []
+
+
+def test_atom_edit_site():
+    info = {"edit_site": {"A": [1]},
+            "change_H": {1: 0, 2: 0, 3: 1},
+            "change_C": {1: 0, 2: 0, 3: 0},
+            "change_S": {1: 0, 2: 0, 3: 0}}
+    # atom-type prediction at the ester carbon (idx 3)
+    out = apply_ranked_edits([("a", 3, 1, 0.9)], "CCOC(C)=O",
+                             {1: ESTER_TPL}, {}, {ESTER_TPL: info}, 5)
+    assert out == [canonical_smiles("CC(=O)O.CCO")]
+    assert apply_ranked_edits([("a", 0, 1, 0.9)], "CCOC(C)=O",
+                              {1: ESTER_TPL}, {}, {ESTER_TPL: info}, 5) == []
+
+
+@pytest.mark.parametrize("product,expect", [
+    ("CCOC(C)=O", "CC(=O)O.CCO"),
+    ("COC(=O)c1ccccc1", "CO.O=C(O)c1ccccc1"),
+])
+def test_retro_metric_with_template_decoding(tmp_path, product, expect):
+    """evaluate_retrosynthesis(template_based=True) end-to-end through the
+    native engine (reference evaluate.py:47-64)."""
+    from textreact_tpu.evaluation import evaluate_retrosynthesis
+    pd.DataFrame({"Class": [1], "Template": [ESTER_TPL]}).to_csv(
+        tmp_path / "atom_templates.csv", index=False)
+    pd.DataFrame({"Class": [1], "Template": [ESTER_TPL]}).to_csv(
+        tmp_path / "bond_templates.csv", index=False)
+    pd.DataFrame({"Template": [ESTER_TPL],
+                  "edit_site": [repr(ESTER_INFO["edit_site"])],
+                  "change_H": [repr(ESTER_INFO["change_H"])],
+                  "change_C": [repr(ESTER_INFO["change_C"])],
+                  "change_S": [repr(ESTER_INFO["change_S"])]}).to_csv(
+        tmp_path / "template_infos.csv", index=False)
+    mol = parse_smiles(product)
+    # locate the ester bond (C(=O)-O-C) for the prediction
+    m = find_matches(parse_smarts("[C:1](=[O:2])-[O;H0;D2;+0:3]"), mol)[0]
+    site = (m[0], m[2])
+    data_df = pd.DataFrame({"product_smiles": [product],
+                            "reactant_smiles": [expect]})
+    prediction = {0: {"prediction": [["b", list(site), 1]], "score": [0.9]}}
+    acc = evaluate_retrosynthesis(prediction, data_df, top_k=20,
+                                  template_based=True,
+                                  template_path=str(tmp_path))
+    assert acc[1] == 1.0

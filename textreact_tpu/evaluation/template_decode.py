@@ -2,11 +2,12 @@
 
 Role of reference textreact/template_decoder.py (get_pred_smiles_from_templates
 -> RunReactants -> fix H/charge/chirality -> demap). Applying a retro
-template requires SMARTS substructure matching and graph rewriting; that
-runs through RDKit's C++ reaction engine when available (as the reference
-does). Without RDKit the framework raises a clear error for this eval mode
-(the template-based training path itself is RDKit-free).
-"""
+template requires SMARTS substructure matching and graph rewriting: with
+RDKit importable the bridge twin (_rdkit_template_apply) runs the
+reference's exact engine for bit-parity; otherwise the native engine
+(chem/smarts.py + chem/reaction.py via _own_template_apply) decodes with
+the same semantics, so template-based retro evaluation works in RDKit-less
+environments too."""
 
 from __future__ import annotations
 
@@ -35,11 +36,6 @@ def decode_template_predictions(prediction: Dict[int, Dict[str, Any]],
                                 ) -> List[List[str]]:
     """Per-example list of decoded reactant SMILES (reference
     evaluate.py:47-64)."""
-    if not HAS_RDKIT:
-        raise NotImplementedError(
-            "template-based decoding requires RDKit's reaction engine "
-            "(the reference uses RunReactants, template_decoder.py:179-196); "
-            "install rdkit to evaluate template-based retrosynthesis")
     atom_df = pd.read_csv(os.path.join(template_path, "atom_templates.csv"))
     bond_df = pd.read_csv(os.path.join(template_path, "bond_templates.csv"))
     atom_templates = dict(zip(atom_df["Class"], atom_df["Template"]))
@@ -72,6 +68,9 @@ def _decode_one(template_preds, product, atom_templates, bond_templates,
                 template_infos, top_k) -> List[str]:
     """Apply ranked edits until top_k distinct valid reactant sets are found
     (reference template_decoder.py:20-37)."""
-    from . import _rdkit_template_apply as impl
+    if HAS_RDKIT:
+        from . import _rdkit_template_apply as impl
+    else:
+        from . import _own_template_apply as impl
     return impl.apply_ranked_edits(template_preds, product, atom_templates,
                                    bond_templates, template_infos, top_k)
