@@ -112,6 +112,47 @@ def test_atom_edit_site():
                               {1: ESTER_TPL}, {}, {ESTER_TPL: info}, 5) == []
 
 
+def test_canonical_frag_index_positions():
+    from textreact_tpu.evaluation._own_template_apply import \
+        _canonical_frag_index
+    mol = parse_smiles("CCO.CC(=O)O")
+    mapping = _canonical_frag_index(mol)
+    # every atom maps to a position within its own fragment
+    assert set(mapping) == set(range(len(mol.atoms)))
+    assert sorted(mapping[i] for i in range(3)) == [0, 1, 2]      # CCO
+    assert sorted(mapping[i] for i in range(3, 7)) == [0, 1, 2, 3]
+
+
+def test_matcher_selfmatch_fuzz():
+    """A molecule's own structure (as explicit SMARTS with element+H+D+charge
+    per atom) must match itself exactly at the identity-ish embedding."""
+    import random
+
+    from textreact_tpu.chem.smarts import QueryAtom, QueryMol, _Prim
+    from textreact_tpu.chem.smarts import B_AROMATIC, B_DOUBLE, B_SINGLE, B_TRIPLE
+    from textreact_tpu.chem.mol import DOUBLE, SINGLE, TRIPLE
+
+    mols = ["CCO", "c1ccccc1O", "CC(=O)Nc1ccc(Br)cc1", "C/C=C/C(=O)O",
+            "[O-]S(=O)(=O)[O-]", "C1CC2CCC1CC2", "c1cc[nH]c1"]
+    for smi in mols:
+        mol = parse_smiles(smi)
+        q = QueryMol()
+        for a in mol.atoms:
+            prims = [_Prim("elem", (a.symbol, a.aromatic)),
+                     _Prim("H", a.total_h), _Prim("D", mol.degree(a.idx)),
+                     _Prim("charge", a.charge)]
+            q.add_atom(QueryAtom(clauses=[[prims]]))
+        for b in mol.bonds:
+            spec = (B_AROMATIC if b.aromatic else
+                    {SINGLE: B_SINGLE, DOUBLE: B_DOUBLE,
+                     TRIPLE: B_TRIPLE}[b.order])
+            q.add_bond(b.a1, b.a2, spec)
+        q.fragments = mol.fragment_atom_sets()
+        matches = find_matches(q, mol)
+        assert any(all(m[i] == i for i in range(len(mol.atoms)))
+                   for m in matches), smi
+
+
 @pytest.mark.parametrize("product,expect", [
     ("CCOC(C)=O", "CC(=O)O.CCO"),
     ("COC(=O)c1ccccc1", "CO.O=C(O)c1ccccc1"),
