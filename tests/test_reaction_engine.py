@@ -112,6 +112,48 @@ def test_atom_edit_site():
                               {1: ESTER_TPL}, {}, {ESTER_TPL: info}, 5) == []
 
 
+def test_smarts_review_regressions():
+    """Pinned fixes from the engine review: '&' conjunction, two-letter
+    elements vs a/A/H primitives, any-size ring membership, malformed-ring
+    error type."""
+    from textreact_tpu.chem.smarts import SmartsParseError
+
+    mol = parse_smiles("CCO")
+    assert len(find_matches(parse_smarts("[C&H2:1]"), mol)) == 1
+    assert len(find_matches(parse_smarts("[Al]"),
+                            parse_smiles("[Al](Cl)(Cl)Cl"))) == 1
+    assert len(find_matches(parse_smarts("[As]"),
+                            parse_smiles("[AsH3]"))) == 1
+    parse_smarts("[Mn]"), parse_smarts("[Sc]"), parse_smarts("[Hg]")
+    # ring membership is exact for rings beyond size 7
+    assert len(find_matches(parse_smarts("[C;R]"),
+                            parse_smiles("C1CCCCCCC1"))) == 8
+    assert len(find_matches(parse_smarts("[C;!R]"),
+                            parse_smiles("CC1CC1"))) == 1
+    with pytest.raises(SmartsParseError):
+        parse_smarts("1CC1")
+
+
+def test_rhs_anum_preserves_aromaticity():
+    """[#6:n] on the RHS asserts nothing about aromaticity: a ring carbon
+    must stay aromatic (RunReactants semantics)."""
+    mol = parse_smiles("Cc1ccccc1")
+    outs = run_retro_template(mol, "([c:1]-[CH3;D1:2])>>([#6:1]).([CH3:2])")
+    assert outs
+    ring_atom = outs[0].mol.atoms[outs[0].map_to_new[1]]
+    assert ring_atom.aromatic
+
+
+def test_change_s_minus_one_clears_chirality():
+    tpl = "[C:1]-[OH;D1;+0:2]>>[C:1].[OH;D1;+0:2]"
+    info = {"edit_site": {"B": [(1, 2)]},
+            "change_H": {1: 1, 2: 0}, "change_C": {1: 0, 2: 0},
+            "change_S": {1: -1, 2: 0}}
+    out = apply_ranked_edits([("b", (1, 2), 1, 0.9)], "C[C@H](O)c1ccccc1",
+                             {}, {1: tpl}, {tpl: info}, 5)
+    assert out and "@" not in out[0], out
+
+
 def test_canonical_frag_index_positions():
     from textreact_tpu.evaluation._own_template_apply import \
         _canonical_frag_index

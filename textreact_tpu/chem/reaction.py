@@ -65,6 +65,11 @@ def _spec_info(qatom) -> Dict[str, object]:
                     if num == p.value:
                         info.setdefault("symbol", sym)
                         break
+                # NOTE: #n asserts nothing about aromaticity
+            elif p.kind == "arom":
+                info["aromatic"] = True
+            elif p.kind == "aliph":
+                info["aromatic"] = False
             elif p.kind == "H":
                 info["h"] = p.value
             elif p.kind == "charge":
@@ -151,7 +156,7 @@ def valence_ok(mol: Mol) -> bool:
 
 
 def run_retro_template(product: Mol, template: str,
-                       max_matches: int = 32) -> List[AppliedTemplate]:
+                       max_matches: int = 1000) -> List[AppliedTemplate]:
     """Apply `lhs>>rhs` to the product; one AppliedTemplate per LHS match.
     Invalid rewrites (valence) are dropped."""
     lhs_s, rhs_s = template.split(">>")
@@ -182,7 +187,11 @@ def run_retro_template(product: Mol, template: str,
             info = _spec_info(rhs.atoms[qi])
             if "symbol" in info:
                 target.symbol = info["symbol"]          # type: ignore
-                target.aromatic = bool(info.get("aromatic", False))
+            if "aromatic" in info:
+                # only a DEFINITE aromaticity assertion (element case or
+                # a/A primitive) changes the flag — [#6:1] keeps the
+                # product atom's aromaticity, as RunReactants does
+                target.aromatic = bool(info["aromatic"])
             if "h" in info:
                 target.explicit_h = int(info["h"])      # type: ignore
             if "charge" in info:

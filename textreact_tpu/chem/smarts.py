@@ -28,8 +28,7 @@ B_DEFAULT, B_SINGLE, B_DOUBLE, B_TRIPLE, B_AROMATIC, B_ANY = range(6)
 _BOND_SPEC = {"-": B_SINGLE, "=": B_DOUBLE, "#": B_TRIPLE, ":": B_AROMATIC,
               "~": B_ANY, "/": B_SINGLE, "\\": B_SINGLE}
 
-_TWO_LETTER = {"Cl", "Br", "Si", "Se", "Sn", "Mg", "Zn", "Cu", "Pd", "Pt",
-               "Fe", "Ni", "Al", "Na", "Li", "Ca", "Te", "As", "Sb", "Bi"}
+_AROMATIC_TWO = {"se", "as", "te"}
 
 
 @dataclasses.dataclass
@@ -95,8 +94,7 @@ _PRIM_RE = re.compile(
 
 
 def _parse_primitives(s: str) -> List[_Prim]:
-    """One '&'-conjunction alternative: a run of (optionally negated)
-    primitives, e.g. '!#6', 'CH2', 'c'."""
+    """A run of (optionally negated) primitives, e.g. '!#6', 'CH2', 'c'."""
     prims: List[_Prim] = []
     i = 0
     while i < len(s):
@@ -104,6 +102,18 @@ def _parse_primitives(s: str) -> List[_Prim]:
         while i < len(s) and s[i] == "!":
             neg = not neg
             i += 1
+        # two-letter element symbols first (Al, As, He, Hg, Mn, Sc, ... and
+        # aromatic se/as/te): the single-letter a/A/H/D/R primitives would
+        # otherwise intercept their first character
+        two = s[i:i + 2]
+        if len(two) == 2 and (
+                (two[0].isupper() and two[1].islower()
+                 and two in ATOMIC_NUM)
+                or two in _AROMATIC_TWO):
+            prims.append(_Prim("elem", (two.capitalize(), two[0].islower()),
+                               neg))
+            i += 2
+            continue
         m = _PRIM_RE.match(s, i)
         if m is None:
             raise SmartsParseError(f"bad SMARTS primitive at {s[i:]!r}")
@@ -136,13 +146,13 @@ def _parse_primitives(s: str) -> List[_Prim]:
             prims.append(_Prim("aliph", None, neg))
         else:
             sym = m.group("elem")
-            # lowercase two-letter aromatics (se, as, te) or single-letter;
-            # uppercase may greedily consume a following lowercase that is
-            # actually its own primitive — only accept known two-letter
-            # element symbols, else split
-            if sym[0].isupper() and len(sym) == 2 and sym not in _TWO_LETTER:
+            # two-letter elements were consumed above; a greedy two-char
+            # match here is really two one-char primitives
+            if len(sym) == 2:
                 sym = sym[0]
                 i = m.start() + 1
+            if sym.capitalize() not in ATOMIC_NUM:
+                raise SmartsParseError(f"unknown element {sym!r} in SMARTS")
             aromatic = sym[0].islower()
             prims.append(_Prim("elem", (sym.capitalize(), aromatic), neg))
     return prims
@@ -161,7 +171,9 @@ def _parse_bracket(body: str) -> QueryAtom:
         for alt in clause.split(","):
             if alt == "":
                 continue
-            alternatives.append(_parse_primitives(alt))
+            # '&' is explicit high-precedence AND: concatenate primitives
+            alternatives.append([p for part in alt.split("&") if part
+                                 for p in _parse_primitives(part)])
         if alternatives:
             clauses.append(alternatives)
     return QueryAtom(clauses=clauses, atom_map=atom_map)
@@ -192,6 +204,8 @@ def parse_smarts(pattern: str) -> QueryMol:
 
     def close_ring(num: int) -> None:
         nonlocal pending
+        if prev is None:
+            raise SmartsParseError(f"ring digit before any atom in {pattern!r}")
         if num in ring_open:
             other, och = ring_open.pop(num)
             ch = pending or och
@@ -264,19 +278,51 @@ def parse_smarts(pattern: str) -> QueryMol:
 # --------------------------------------------------------------------------
 
 def ring_membership(mol: Mol) -> Tuple[List[bool], List[bool]]:
-    """(atom_in_ring, bond_in_ring) via DFS back-edge cycle marking."""
-    from .aromatic import _candidate_rings
-    in_ring_atom = [False] * len(mol.atoms)
+    """(atom_in_ring, bond_in_ring), exact for rings of ANY size: a bond is
+    in a ring iff it is not a bridge (iterative Tarjan low-link), an atom iff
+    it has a non-bridge bond. O(V+E), matching RDKit IsInRing semantics."""
+    n = len(mol.atoms)
     in_ring_bond = [False] * len(mol.bonds)
-    for ring in _candidate_rings(mol):
-        rs = set(ring)
-        for a in ring:
-            in_ring_atom[a] = True
-        for bi, b in enumerate(mol.bonds):
-            if b.a1 in rs and b.a2 in rs:
-                from .aromatic import _in_ring
-                if _in_ring(ring, b.a1, b.a2):
-                    in_ring_bond[bi] = True
+    disc = [-1] * n
+    low = [0] * n
+    timer = 0
+    for root in range(n):
+        if disc[root] != -1:
+            continue
+        # iterative DFS: stack of (atom, parent_bond, adjacency iterator idx)
+        stack = [(root, -1, 0)]
+        disc[root] = low[root] = timer
+        timer += 1
+        while stack:
+            a, pbond, it = stack[-1]
+            if it < len(mol.adj[a]):
+                stack[-1] = (a, pbond, it + 1)
+                bidx = mol.adj[a][it]
+                if bidx == pbond:
+                    continue
+                o = mol.bonds[bidx].a1 + mol.bonds[bidx].a2 - a
+                if disc[o] == -1:
+                    disc[o] = low[o] = timer
+                    timer += 1
+                    stack.append((o, bidx, 0))
+                else:
+                    # back edge: part of a cycle
+                    in_ring_bond[bidx] = True
+                    low[a] = min(low[a], disc[o])
+            else:
+                stack.pop()
+                if stack:
+                    parent = stack[-1][0]
+                    low[parent] = min(low[parent], low[a])
+                    if low[a] > disc[parent]:
+                        pass  # bridge: pbond stays False
+                    elif pbond >= 0:
+                        in_ring_bond[pbond] = True
+    in_ring_atom = [False] * n
+    for bidx, flag in enumerate(in_ring_bond):
+        if flag:
+            in_ring_atom[mol.bonds[bidx].a1] = True
+            in_ring_atom[mol.bonds[bidx].a2] = True
     return in_ring_atom, in_ring_bond
 
 

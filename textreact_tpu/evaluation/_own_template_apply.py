@@ -16,11 +16,13 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..chem import parse_smiles
 from ..chem.canon import canonical_ranks, write_smiles
-from ..chem.mol import CHI_CCW, CHI_CW, Mol
+from ..chem.mol import CHI_CCW, CHI_CW, CHI_NONE, Mol
 from ..chem.reaction import (mol_fragments_smiles, run_retro_template,
                              valence_ok)
 
-_INT_TO_CHIRAL = {1: CHI_CW, 2: CHI_CCW}
+# -1 = stereocenter destroyed -> clear the tag (reference chiral_type_map:
+# CHI_UNSPECIFIED maps to -1, template_decoder.py:15)
+_INT_TO_CHIRAL = {1: CHI_CW, 2: CHI_CCW, -1: CHI_NONE}
 
 
 def apply_ranked_edits(template_preds: Sequence[Tuple], product: str,
