@@ -225,6 +225,26 @@ def test_ancestry_beam_attention_matches_permuted_cache(seed):
         src = src[np.arange(B)[:, None], parents[t]]
 
 
+def test_segmented_attention_windows_are_invariant():
+    """The static attention-window schedule is a pure perf carve-up:
+    generation output must be identical for any segmentation."""
+    from textreact_tpu.inference.predictor import Generator
+
+    model = EncoderDecoder(encoder_config=TINY_ENC, decoder_config=TINY_DEC,
+                           dtype=jnp.float32)
+    batch = _batch()
+    inputs = {"input_ids": batch["input_ids"],
+              "attention_mask": batch["attention_mask"]}
+    params = model.init(jax.random.PRNGKey(11), **batch)
+    T = 12
+    ref_s, ref_sc = Generator(model, params, num_beams=3, max_length=T,
+                              attn_windows=[T]).generate(inputs)
+    seg_s, seg_sc = Generator(model, params, num_beams=3, max_length=T,
+                              attn_windows=[4, 8, T]).generate(inputs)
+    np.testing.assert_array_equal(seg_s, ref_s)
+    np.testing.assert_allclose(seg_sc, ref_sc, rtol=1e-5, atol=1e-6)
+
+
 def test_decode_cache_from_init_diverges():
     """Regression guard for the predictor cache bug: a cache created with
     step_model.init (fresh kernels) must NOT reproduce the trained decoder's

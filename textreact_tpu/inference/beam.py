@@ -48,6 +48,21 @@ def ancestor_bias(src: Array, cur_len: Array, B: int, K: int, T: int) -> Array:
     return jnp.where(valid.reshape(B, K, T * K), 0.0, NEG_INF_BIAS)
 
 
+def _plan_windows(T: int, user) -> list:
+    """Static attention-window schedule: early decode steps attend over a
+    prefix slice of the cache (the bias width tells the attention how much
+    to read), so per-step HBM traffic tracks the decoded length instead of
+    the cache capacity. Short caches get a single window."""
+    if user is not None:
+        ws = sorted({min(int(w), T) for w in user})
+        return ws if ws and ws[-1] == T else ws + [T]
+    if T <= 48:
+        return [T]
+    quarter = max(16, -(-T // 4 // 16) * 16)
+    half = max(quarter, -(-T // 2 // 16) * 16)
+    return [w for w in (quarter, half) if w < T] + [T]
+
+
 def beam_search(
     step_fn: Callable[[Any, Array, Array], Tuple[Array, Any]],
     init_cache: Any,
@@ -57,6 +72,7 @@ def beam_search(
     bos_token_id: int,
     eos_token_id: int,
     pad_token_id: int,
+    attn_windows=None,
 ) -> Tuple[Array, Array]:
     """Returns (sequences (B, K, max_length), scores (B, K)) best-first.
 
@@ -66,7 +82,10 @@ def beam_search(
     The KV cache is row-stable: beams reordering never permutes it. The
     (B, K, T) ancestor table `src` tracks which row holds each beam's
     history at each position, and ancestor_bias() turns it into the
-    attention mask consumed by the decoder's grouped beam attention.
+    attention mask consumed by the decoder's grouped beam attention. The
+    decode runs as chained while_loops over a static window schedule
+    (_plan_windows): within a segment the bias spans window*K columns and
+    the attention reads only that cache prefix.
     """
     B, K, T = batch_size, num_beams, max_length
 
@@ -79,25 +98,30 @@ def beam_search(
     fin_flags = jnp.zeros((B, K), dtype=jnp.bool_)
     src = jnp.zeros((B, K, T), dtype=jnp.int32)
 
-    def cond(state):
-        cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, src, cache = state
-        not_max = cur_len < T
-        # early_stopping=False heuristic: a live beam can still enter the
-        # finished pool iff its (non-increasing) score beats the worst
-        # finished score or a slot is empty
-        worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
-        best_live = live_scores.max(axis=1)
-        improvable = jnp.any((best_live > worst_fin) | ~fin_flags.all(axis=1))
-        return not_max & improvable
+    def make_cond(limit: int, last: bool):
+        def cond(state):
+            cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, src, cache = state
+            not_max = cur_len < T if last else cur_len <= limit
+            # early_stopping=False heuristic: a live beam can still enter
+            # the finished pool iff its (non-increasing) score beats the
+            # worst finished score or a slot is empty
+            worst_fin = jnp.where(fin_flags, fin_scores, NEG_INF).min(axis=1)
+            best_live = live_scores.max(axis=1)
+            improvable = jnp.any((best_live > worst_fin) | ~fin_flags.all(axis=1))
+            return not_max & improvable
+        return cond
 
-    def body(state):
+    def make_body(window: int):
+        return lambda state: body(state, window)
+
+    def body(state, window: int):
         cur_len, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, src, cache = state
         # the token fed at cur_len-1 belongs to live beam j and its K/V are
         # written to cache row j
         src = jax.lax.dynamic_update_slice_in_dim(
             src, jnp.tile(jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, 1)),
             cur_len - 1, axis=2)
-        beam_bias = ancestor_bias(src, cur_len, B, K, T)
+        beam_bias = ancestor_bias(src[:, :, :window], cur_len, B, K, window)
         tokens = jax.lax.dynamic_slice_in_dim(live_seqs, cur_len - 1, 1, axis=2)
         logits, cache = step_fn(cache, tokens.reshape(B * K, 1), cur_len - 1,
                                 beam_bias)
@@ -147,8 +171,12 @@ def beam_search(
 
     state = (jnp.asarray(1, jnp.int32), live_seqs, live_scores, fin_seqs,
              fin_scores, fin_flags, src, init_cache)
-    (_, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, _, _) = \
-        jax.lax.while_loop(cond, body, state)
+    windows = _plan_windows(T, attn_windows)
+    for wi, W in enumerate(windows):
+        last = wi == len(windows) - 1
+        state = jax.lax.while_loop(make_cond(W, last), make_body(min(W, T)),
+                                   state)
+    (_, live_seqs, live_scores, fin_seqs, fin_scores, fin_flags, _, _) = state
 
     # HF finalize: live beams join the finished pool, best K overall win
     all_scores = jnp.concatenate(

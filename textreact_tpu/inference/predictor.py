@@ -19,12 +19,17 @@ from .beam import beam_search
 
 class Generator:
     def __init__(self, module: EncoderDecoder, params, num_beams: int,
-                 max_length: int):
+                 max_length: int, attn_windows=None):
         self.module = module
         self.params = params
         self.num_beams = num_beams
         self.max_length = max_length
         self.dec_config = module.decoder_config
+        # the fused decode kernel does its own prefix skipping and needs
+        # full-width biases; the XLA path uses the segmented schedule
+        if self.dec_config.decode_attention_impl == "fused":
+            attn_windows = [max_length]
+        self.attn_windows = attn_windows
         self.step_model = DecoderStep(decoder_config=self.dec_config,
                                       dtype=module.dtype,
                                       cache_len=max_length,
@@ -69,7 +74,8 @@ class Generator:
                 step_fn, cache, B, K, T,
                 bos_token_id=cfg.bos_token_id,
                 eos_token_id=cfg.eos_token_id,
-                pad_token_id=cfg.pad_token_id)
+                pad_token_id=cfg.pad_token_id,
+                attn_windows=self.attn_windows)
 
         return generate
 

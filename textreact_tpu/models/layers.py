@@ -268,7 +268,12 @@ class MultiHeadAttention(nn.Module):
                     raise ValueError("beam_groups decode requires beam_bias")
                 q2 = q.reshape(Bex, G, H, D)
                 sm_scale = 1.0 / float(D) ** 0.5
+                # the bias WIDTH carries the static attention window
+                # (inference/beam.py segments the decode): the attention
+                # reads only that prefix of the cache
+                win = beam_bias.shape[-1] // G
                 if (cfg.decode_attention_impl == "fused"
+                        and win == cache_len
                         and jax.default_backend() == "tpu"):
                     # fused kernel: on-chip streaming softmax + t-block skip
                     # past the decoded prefix (traffic ∝ cur_len, not T).
@@ -281,8 +286,8 @@ class MultiHeadAttention(nn.Module):
                         q2, k_all, v_all, beam_bias, idx + 1, sm_scale,
                         interpret=False)
                 else:
-                    k2 = k_all.reshape(Bex, H, D, cache_len * G)
-                    v2 = v_all.reshape(Bex, H, D, cache_len * G)
+                    k2 = k_all[:, :, :, :win].reshape(Bex, H, D, win * G)
+                    v2 = v_all[:, :, :, :win].reshape(Bex, H, D, win * G)
                     scores = jnp.einsum("bghd,bhdk->bhgk", q2, k2,
                                         preferred_element_type=jnp.float32)
                     scores = scores * sm_scale
