@@ -99,7 +99,7 @@ def build_parser() -> argparse.ArgumentParser:
                    default="flash")
     p.add_argument("--dropout_rng_impl", type=str,
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
-                   default="rbg")
+                   default="unsafe_rbg")
     p.add_argument("--zero1", action="store_true",
                    help="shard optimizer moments over the dp axis (ZeRO-1)")
     return p
