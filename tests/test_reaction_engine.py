@@ -195,6 +195,30 @@ def test_matcher_selfmatch_fuzz():
                    for m in matches), smi
 
 
+def test_own_decoder_agrees_with_rdkit_when_available():
+    """When RDKit is importable, the native decoder must produce the same
+    molecules as the RDKit twin on the fixture templates (canonical forms
+    compared through each engine's own canonicalizer)."""
+    from textreact_tpu.chem.rdkit_bridge import HAS_RDKIT
+    if not HAS_RDKIT:
+        pytest.skip("RDKit not in image")
+    from textreact_tpu.evaluation import _rdkit_template_apply as rk
+    cases = [
+        ([("b", (3, 2), 1, 0.9)], "CCOC(C)=O", {}, {1: ESTER_TPL},
+         {ESTER_TPL: ESTER_INFO}),
+        ([("b", (1, 3), 2, 0.8)], "CC(=O)Nc1ccccc1", {}, {2: AMIDE_TPL},
+         {AMIDE_TPL: AMIDE_INFO}),
+        ([("b", (0, 1), 1, 0.9)], "Brc1ccccc1", {}, {1: BR_TPL},
+         {BR_TPL: BR_INFO}),
+    ]
+    for preds, product, at, bt, infos in cases:
+        own = apply_ranked_edits(preds, product, at, bt, infos, 5)
+        ref = rk.apply_ranked_edits(preds, product, at, bt, infos, 5)
+        assert len(own) == len(ref), (product, own, ref)
+        for o, r in zip(own, ref):
+            assert o == canonical_smiles(r), (product, o, r)
+
+
 @pytest.mark.parametrize("product,expect", [
     ("CCOC(C)=O", "CC(=O)O.CCO"),
     ("COC(=O)c1ccccc1", "CO.O=C(O)c1ccccc1"),
