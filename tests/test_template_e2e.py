@@ -164,3 +164,84 @@ def test_template_rule_is_learned(tmp_path):
         records = [json.loads(l) for l in f]
     accs = [r["val_acc"] for r in records if "val_acc" in r]
     assert accs and max(accs) >= 0.9, accs
+
+
+@pytest.mark.slow
+def test_template_full_cycle_with_native_decode(tmp_path):
+    """The COMPLETE template-based workflow in one run, RDKit-free:
+    train -> ranked edits -> native template decode (chem/reaction.py) ->
+    retro top-k metric (reference test_step template branch +
+    evaluate.py:47-64). Products are esters labeled at their ester bond
+    with a real hydrolysis template, so the gold reactants are exactly
+    what the decoder must produce."""
+    from textreact_tpu.chem.smarts import find_matches, parse_smarts
+    from textreact_tpu.evaluation._own_template_apply import apply_ranked_edits
+
+    ester = ("[C:1](=[O:2])-[O;H0;D2;+0:3]>>"
+             "[C:1](=[O:2])-[OH;D1;+0:4].[OH;D1;+0:3]")
+    info = {"edit_site": {"B": [(1, 3)]},
+            "change_H": {1: 0, 2: 0, 3: 1},
+            "change_C": {1: 0, 2: 0, 3: 0},
+            "change_S": {1: 0, 2: 0, 3: 0}}
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    pd.DataFrame({"Template": [ester], "Frequency": [10], "Class": [1]}
+                 ).to_csv(os.path.join(root, "atom_templates.csv"), index=False)
+    pd.DataFrame({"Template": [ester], "Frequency": [10], "Class": [1]}
+                 ).to_csv(os.path.join(root, "bond_templates.csv"), index=False)
+    pd.DataFrame({"Template": [ester], "edit_site": [repr(info["edit_site"])],
+                  "change_H": [repr(info["change_H"])],
+                  "change_C": [repr(info["change_C"])],
+                  "change_S": [repr(info["change_S"])]}).to_csv(
+        os.path.join(root, "template_infos.csv"), index=False)
+
+    esters = ["CCOC(C)=O", "COC(C)=O", "CCOC(=O)CC", "COC(=O)CC",
+              "CCCOC(C)=O", "CCOC(=O)C(C)C"]
+    pattern = parse_smarts("[C:1](=[O:2])-[O;H0;D2;+0:3]")
+    rng = random.Random(0)
+    for split, n in [("train", 16), ("val", 6), ("test", 6)]:
+        rows, labels, a2c, bonds = [], [], [], []
+        for i in range(n):
+            prod = esters[rng.randrange(len(esters))]
+            m = find_matches(pattern, parse_smiles(prod))[0]
+            site = (m[0], m[2])
+            gold = apply_ranked_edits([("b", site, 1, 1.0)], prod,
+                                      {}, {1: ester}, {ester: info}, 1)[0]
+            n_atoms = len(parse_smiles(prod).atoms)
+            rows.append({"id": f"F{split}{i}", "product_smiles": prod,
+                         "reactant_smiles": gold})
+            labels.append([("b", site, 1)])
+            a2c.append(list(range(n_atoms)))
+            bonds.append(_bonds(prod))
+        pd.DataFrame({"id": [r["id"] for r in rows],
+                      "product_smiles": [r["product_smiles"] for r in rows],
+                      "reactant_smiles": [r["reactant_smiles"] for r in rows]}
+                     ).to_csv(os.path.join(root, f"{split}.csv"), index=False)
+        pd.DataFrame({"Labels": [repr(l) for l in labels],
+                      "ProductAtomIdx2CanonIdx": [repr(x) for x in a2c],
+                      "ProductCanonBonds": [repr(b) for b in bonds]}).to_csv(
+            os.path.join(root, f"preprocessed_{split}.csv"), index=False)
+    with open(os.path.join(root, "enc.json"), "w") as f:
+        json.dump(TINY_ENC, f)
+
+    cfg = ExperimentConfig(
+        task="retro", template_based=True, unattend_nonbonds=True,
+        do_train=True, do_test=True, data_path=root, template_path=root,
+        train_file="train.csv", valid_file="val.csv", test_file="test.csv",
+        encoder=os.path.join(root, "enc.json"), encoder_tokenizer="smiles",
+        num_neighbors=-1, max_length=64, batch_size=8, test_batch_size=8,
+        epochs=3, lr=3e-3, eval_per_epoch=1, num_beams=20,
+        save_path=os.path.join(root, "out"), compute_dtype="float32",
+        dp_size=1, log_every=1, length_buckets=(64,), debug=True,
+    ).validate()
+    trainer = Trainer(cfg)
+    trainer.prepare_data()
+    trainer.fit()
+    results = trainer.test()
+    assert results, "test() must return accuracy dicts"
+    acc = results[0]
+    assert set(acc) == {1, 2, 3, 5, 10, 20}
+    # with one decodable template, the gold decode must appear within the
+    # top-20 decoded candidates of the ranked edit list
+    assert acc[20] >= 0.5, acc
+    assert os.path.exists(os.path.join(cfg.save_path, "prediction_test_0.json"))
