@@ -195,6 +195,46 @@ def test_matcher_selfmatch_fuzz():
                    for m in matches), smi
 
 
+def test_bond_cut_property_fuzz():
+    """Property fuzz over realistic molecules: for every non-ring single
+    bond, a template generated from the two endpoint atoms must apply at
+    exactly that bond and split the molecule into one more fragment,
+    preserving the atom count."""
+    from test_chem_fuzz import DRUGS
+
+    from textreact_tpu.chem.smarts import ring_membership
+    from textreact_tpu.chem.mol import SINGLE
+
+    def atom_spec(mol, idx, mapno):
+        a = mol.atoms[idx]
+        sym = a.symbol.lower() if a.aromatic else a.symbol
+        return f"[{sym}H{a.total_h};{a.charge:+d};D{mol.degree(idx)}:{mapno}]"
+
+    checked = 0
+    for smi in DRUGS:
+        mol = parse_smiles(smi)
+        n_frags = len(mol.fragment_atom_sets())
+        _, in_ring_bond = ring_membership(mol)
+        for bidx, b in enumerate(mol.bonds):
+            if in_ring_bond[bidx] or b.order != SINGLE or b.aromatic:
+                continue
+            if "H" in (mol.atoms[b.a1].symbol, mol.atoms[b.a2].symbol):
+                continue  # explicit-H atoms need [#1] specs in SMARTS
+            lhs = f"{atom_spec(mol, b.a1, 1)}-{atom_spec(mol, b.a2, 2)}"
+            tpl = f"({lhs})>>({atom_spec(mol, b.a1, 1)}).({atom_spec(mol, b.a2, 2)})"
+            outs = run_retro_template(mol, tpl)
+            hits = [o for o in outs
+                    if o.map_to_product[1] == b.a1
+                    and o.map_to_product[2] == b.a2]
+            assert hits, (smi, bidx, tpl)
+            out = hits[0]
+            assert len(out.mol.atoms) == len(mol.atoms)
+            assert len(out.mol.fragment_atom_sets()) == n_frags + 1, (smi, bidx)
+            assert mol_fragments_smiles(out.mol) is not None, (smi, bidx)
+            checked += 1
+    assert checked > 80, checked
+
+
 def test_own_decoder_agrees_with_rdkit_when_available():
     """When RDKit is importable, the native decoder must produce the same
     molecules as the RDKit twin on the fixture templates (canonical forms

@@ -131,9 +131,16 @@ void assign_implicit_h(Mol& mol) {
       order_sum += 1;
     int h = 0;
     const auto* vals = default_valences(a.symbol);
-    if (vals)
-      for (int v : *vals)
-        if (order_sum <= v) { h = v - order_sum; break; }
+    if (vals) {
+      if (a.aromatic) {
+        // no valence promotion for aromatic atoms (mirror of mol.py):
+        // a bare 3-connected aromatic N has zero implicit H
+        h = std::max(0, (*vals)[0] - order_sum);
+      } else {
+        for (int v : *vals)
+          if (order_sum <= v) { h = v - order_sum; break; }
+      }
+    }
     a.implicit_h = h;
   }
 }
@@ -572,9 +579,11 @@ int reader_inferred_h(const Mol& mol, int idx) {
                       at.symbol == "N" || at.symbol == "P"))
     order_sum += 1;
   const auto* vals = default_valences(at.symbol);
-  if (vals)
+  if (vals) {
+    if (at.aromatic) return std::max(0, (*vals)[0] - order_sum);
     for (int v : *vals)
       if (order_sum <= v) return v - order_sum;
+  }
   return 0;
 }
 

@@ -97,7 +97,12 @@ def _reader_inferred_h(mol: Mol, idx: int) -> int:
         order_sum += 1 if bond.aromatic else bond.order
     if at.aromatic and at.symbol in ("B", "C", "N", "P"):
         order_sum += 1
-    for val in DEFAULT_VALENCES.get(at.symbol, ()):
+    vals = DEFAULT_VALENCES.get(at.symbol, ())
+    if at.aromatic:
+        # mirror of Mol.assign_implicit_h: no valence promotion for
+        # aromatic atoms (bare 3-connected aromatic N has zero H)
+        return max(0, vals[0] - order_sum) if vals else 0
+    for val in vals:
         if order_sum <= val:
             return val - order_sum
     return 0

@@ -146,11 +146,18 @@ class Mol:
             # skeleton; aromatic O/S do not (furan/thiophene heteroatoms).
             if atom.aromatic and atom.symbol in ("B", "C", "N", "P"):
                 order_sum += 1
-            h = 0
-            for val in DEFAULT_VALENCES[atom.symbol]:
-                if order_sum <= val:
-                    h = val - order_sum
-                    break
+            if atom.aromatic:
+                # no valence promotion inside an aromatic ring: a bare
+                # 3-connected aromatic N (N-substituted pyrrole/imidazole,
+                # caffeine ring N) has ZERO implicit H — only [nH] carries
+                # one. Promotion to the next valence (N->5) would invent it.
+                h = max(0, DEFAULT_VALENCES[atom.symbol][0] - order_sum)
+            else:
+                h = 0
+                for val in DEFAULT_VALENCES[atom.symbol]:
+                    if order_sum <= val:
+                        h = val - order_sum
+                        break
             atom.implicit_h = h
 
     def fragment_atom_sets(self) -> List[List[int]]:

@@ -145,10 +145,17 @@ def valence_ok(mol: Mol) -> bool:
         if a.charge != 0 or a.symbol not in DEFAULT_VALENCES:
             continue
         order_sum = 0
+        has_plain_multi = False
         for bidx in mol.adj[a.idx]:
             b = mol.bonds[bidx]
             order_sum += 1 if b.aromatic else b.order
-        if a.aromatic and a.symbol in ("B", "C", "N", "P"):
+            if not b.aromatic and b.order >= DOUBLE:
+                has_plain_multi = True
+        # the delocalized aromatic π counts only when the atom's π electron
+        # is not already in an explicit multiple bond (2-pyridone-type
+        # c(=O) ring carbons)
+        if (a.aromatic and a.symbol in ("B", "C", "N", "P")
+                and not has_plain_multi):
             order_sum += 1
         if order_sum + a.total_h > max(DEFAULT_VALENCES[a.symbol]):
             return False
