@@ -112,6 +112,21 @@ def test_atom_edit_site():
                               {1: ESTER_TPL}, {}, {ESTER_TPL: info}, 5) == []
 
 
+@pytest.mark.parametrize("product,tpl,info,expect", [
+    # gamma-butyrolactone: hydrolysis OPENS the ring -> single fragment
+    ("O=C1CCCO1", ESTER_TPL, ESTER_INFO, "OCCCC(=O)O"),
+    # 2-pyrrolidone (lactam) with the amide template
+    ("O=C1CCCN1", AMIDE_TPL, AMIDE_INFO, "NCCCC(=O)O"),
+])
+def test_ring_opening_templates(product, tpl, info, expect):
+    mol = parse_smiles(product)
+    lhs = tpl.split(">>")[0]
+    m = find_matches(parse_smarts(lhs), mol)[0]
+    out = apply_ranked_edits([("b", (m[0], m[2]), 1, 0.9)], product, {},
+                             {1: tpl}, {tpl: info}, 5)
+    assert out == [canonical_smiles(expect)], out
+
+
 def test_smarts_review_regressions():
     """Pinned fixes from the engine review: '&' conjunction, two-letter
     elements vs a/A/H primitives, any-size ring membership, malformed-ring
