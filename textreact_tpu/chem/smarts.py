@@ -12,6 +12,15 @@ branches, ring closures, and '.'-separated fragments.
 Matching is standard backtracking subgraph isomorphism: pattern atoms in
 per-fragment DFS order, every placed pattern bond verified against the
 molecule, molecule atoms used at most once across the whole pattern.
+
+Sufficiency note: the TextReact pipeline extracts templates with
+use_symbol=True (reference get_templates.py:130-132 ->
+get_strict_smarts_for_atom, template_extractor.py:355-375), which emits
+bare element+map atoms ('[C:2]', lowercase for aromatic) — a strict subset
+of what this module parses. The richer H/D/charge primitives cover
+templates from stock rdchiral settings too. Known approximations: R<n>
+(membership in n rings) is treated as plain ring membership, and @/@@ in
+patterns match any chirality (RDKit's default substructure behavior).
 """
 
 from __future__ import annotations
