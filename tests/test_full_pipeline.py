@@ -81,3 +81,58 @@ def test_retrieve_then_train_then_test(tmp_path, capsys):
     for line in acc_lines:
         acc = json.loads(line)
         assert set(acc) == {"1", "3", "5", "10", "15"}
+
+
+@pytest.mark.slow
+def test_retro_retrieve_then_train_then_test(tmp_path, capsys):
+    """Retro variant of the workflow chain: retrieval CLI over
+    product_smiles fingerprints (reference retrieve/retro.sh) feeding the
+    template-free retro train CLI through beam test + retro metric."""
+    from fixtures import make_retro_data
+
+    from textreact_tpu.cli.main import main as train_main
+    from textreact_tpu.retrieval.cli import main as retrieval_main
+
+    root = make_retro_data(str(tmp_path / "data"))
+    with open(os.path.join(root, "enc.json"), "w") as f:
+        json.dump(TINY_ENC_JSON, f)
+    with open(os.path.join(root, "dec.json"), "w") as f:
+        json.dump(dict(TINY_DEC_JSON, vocab_size=600), f)
+
+    nn_out = str(tmp_path / "nn")
+    retrieval_main([
+        "--data_path", root, "--train_file", "train.csv",
+        "--valid_file", "valid.csv", "--test_file", "test.csv",
+        "--field", "product_smiles", "--output_path", nn_out,
+        "--k", "4", "--check_parity",
+    ])
+
+    save = str(tmp_path / "out")
+    train_main([
+        "--task", "retro", "--do_train", "--do_test",
+        "--data_path", root, "--train_file", "train.csv",
+        "--valid_file", "valid.csv", "--test_file", "test.csv",
+        "--corpus_file", os.path.join(root, "corpus.csv"),
+        "--nn_path", nn_out, "--train_nn_file", "train.json",
+        "--valid_nn_file", "val.json", "--test_nn_file", "test.json",
+        "--text_vocab_file", os.path.join(root, "text_vocab.txt"),
+        "--encoder", os.path.join(root, "enc.json"),
+        "--decoder", os.path.join(root, "dec.json"),
+        "--encoder_tokenizer", "smiles_text", "--num_neighbors", "2",
+        "--max_length", "64", "--max_dec_length", "16",
+        "--batch_size", "8", "--test_batch_size", "8", "--epochs", "2",
+        "--lr", "1e-3", "--num_beams", "3", "--save_path", save,
+        "--compute_dtype", "float32", "--dp_size", "2",
+        "--log_every", "1", "--debug",
+    ])
+
+    preds = os.path.join(save, "prediction_test_0.json")
+    assert os.path.exists(preds)
+    with open(preds) as f:
+        p = json.load(f)
+    assert len(p) == 6 and all(len(v["prediction"]) == 3 for v in p.values())
+    out = capsys.readouterr().out
+    acc_lines = [l for l in out.splitlines() if l.startswith('{"1"')]
+    assert len(acc_lines) == 2, out[-2000:]
+    for line in acc_lines:
+        assert set(json.loads(line)) == {"1", "2", "3", "5", "10", "20"}
