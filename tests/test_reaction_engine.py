@@ -147,6 +147,25 @@ def test_smarts_review_regressions():
                             parse_smiles("CC1CC1"))) == 1
     with pytest.raises(SmartsParseError):
         parse_smarts("1CC1")
+    # advisor r2: unbalanced '(' and truncated %-ring must raise the
+    # parser's own error type, not slip through / raise bare ValueError
+    with pytest.raises(SmartsParseError):
+        parse_smarts("C(C")
+    with pytest.raises(SmartsParseError):
+        parse_smarts("CC%")
+    with pytest.raises(SmartsParseError):
+        parse_smarts("CC%1")
+
+
+def test_uncreatable_rhs_checked_before_matching():
+    """Advisor r2: the un-creatable-RHS-atom bailout must not discard
+    results accumulated from earlier matches (hoisted above the loop)."""
+    from textreact_tpu.chem.reaction import run_retro_template
+    mol = parse_smiles("CCOC(C)=O")
+    # RHS creates an unmapped wildcard atom: no match can ever be built
+    assert run_retro_template(mol, "[C:1]-[O:2]>>[C:1]-[O:2]-[*]") == []
+    # sanity: the same LHS with a creatable RHS atom still yields results
+    assert run_retro_template(mol, "[C:1]-[O:2]>>[C:1].[O:2]-[CH3]")
 
 
 def test_rhs_anum_preserves_aromaticity():

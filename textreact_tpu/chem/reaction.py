@@ -163,15 +163,31 @@ def valence_ok(mol: Mol) -> bool:
 
 
 def run_retro_template(product: Mol, template: str,
-                       max_matches: int = 1000) -> List[AppliedTemplate]:
+                       max_matches: int = 1000,
+                       check_valence: bool = True) -> List[AppliedTemplate]:
     """Apply `lhs>>rhs` to the product; one AppliedTemplate per LHS match.
-    Invalid rewrites (valence) are dropped."""
+
+    With check_valence (default), rewrites that violate standard valences
+    are dropped. Decoders that patch H counts afterwards (template
+    change_H deltas, reference fix_reactant_atoms) must pass
+    check_valence=False and validate after patching — RDKit's RunReactants
+    likewise defers sanitization, so e.g. a hydrogenation template C-C>>C=C
+    transiently over-valences until the H patch lands."""
     lhs_s, rhs_s = template.split(">>")
     lhs = parse_smarts(lhs_s)
     rhs = parse_smarts(rhs_s)
 
     lhs_maps = {qa.atom_map: qa.idx for qa in lhs.atoms if qa.atom_map}
     rhs_maps = {qa.atom_map: qa.idx for qa in rhs.atoms if qa.atom_map}
+
+    # RHS atoms without an LHS counterpart must be creatable (definite
+    # element). This depends only on the parsed template, not on the match,
+    # so it is checked once up front.
+    for qa in rhs.atoms:
+        if qa.atom_map and qa.atom_map in lhs_maps:
+            continue
+        if "symbol" not in _spec_info(qa):
+            return []  # un-creatable wildcard product atom
 
     results: List[AppliedTemplate] = []
     for match in find_matches(lhs, product, max_matches=max_matches):
@@ -211,8 +227,6 @@ def run_retro_template(product: Mol, template: str,
                 rhs_to_new[qa.idx] = map_to_product[qa.atom_map]
                 continue
             info = _spec_info(qa)
-            if "symbol" not in info:
-                return []  # un-creatable wildcard product atom
             rhs_to_new[qa.idx] = mol.add_atom(Atom(
                 symbol=str(info["symbol"]),
                 aromatic=bool(info.get("aromatic", False)),
@@ -277,7 +291,7 @@ def run_retro_template(product: Mol, template: str,
                 new_to_product[new] = old
 
         fix_nonring_aromatic(mol)
-        if not valence_ok(mol):
+        if check_valence and not valence_ok(mol):
             continue
         results.append(AppliedTemplate(mol=mol,
                                        map_to_product=new_map_to_product,

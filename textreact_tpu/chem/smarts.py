@@ -258,6 +258,8 @@ def parse_smarts(pattern: str) -> QueryMol:
             close_ring(int(c))
             i += 1
         elif c == "%":
+            if not pattern[i + 1:i + 3].isdigit():
+                raise SmartsParseError(f"bad %ring closure in {pattern!r}")
             close_ring(int(pattern[i + 1:i + 3]))
             i += 3
         elif c == "*":
@@ -277,6 +279,8 @@ def parse_smarts(pattern: str) -> QueryMol:
                 raise SmartsParseError(f"unexpected {c!r} in {pattern!r}")
     if ring_open:
         raise SmartsParseError(f"unclosed SMARTS rings in {pattern!r}")
+    if stack:
+        raise SmartsParseError(f"unclosed branch '(' in {pattern!r}")
     if frag:
         q.fragments.append(list(frag))
     return q
