@@ -69,12 +69,16 @@ def test_full_template_encoding():
     assert key == "[C:1]>>[C:1]_1_-1_2"
 
 
-@pytest.mark.skipif(not HAS_RDKIT, reason="template extraction needs rdkit")
-def test_extract_template_simple_ester():
+@pytest.mark.parametrize("engine", [
+    "native",
+    pytest.param("rdkit", marks=pytest.mark.skipif(
+        not HAS_RDKIT, reason="rdkit engine needs rdkit")),
+])
+def test_extract_template_simple_ester(engine):
     from textreact_tpu.templates.extractor import extract_template
     rxn = "[CH3:1][C:2](=[O:3])[OH:4].[CH3:5][OH:6]>>" \
           "[CH3:1][C:2](=[O:3])[O:6][CH3:5]"
-    result = extract_template(rxn)
+    result = extract_template(rxn, engine=engine)
     assert "reaction_smarts" in result
     assert ">>" in result["reaction_smarts"]
     assert result["edits"]

@@ -61,6 +61,46 @@ def canonical_ranks(mol: Mol, atom_subset: Optional[Sequence[int]] = None) -> Di
             ranks = new_ranks
 
     ranks = refine(ranks)
+
+    # Stereo-aware refinement: split rank-tied chiral atoms by a
+    # spelling-invariant descriptor — the parsed tag composed with the
+    # parity of (SMILES neighbor order -> rank order). Without this, a
+    # meso compound (e.g. meso-tartaric acid) written from either end
+    # yields two different "canonical" strings: the tied centers are
+    # graph-equivalent ignoring stereo, and the index tie-break below
+    # would follow input order.
+    from .mol import H_MARKER
+    nbr_order = getattr(mol, "smiles_neighbor_order", {})
+
+    def chiral_descriptor(a: int, r: Dict[int, int]) -> int:
+        at = mol.atoms[a]
+        if at.chirality == CHI_NONE:
+            return 0
+        orig = list(nbr_order.get(a, []))
+        if not orig:
+            return 0
+        keys = []
+        for x in orig:
+            if x == H_MARKER:
+                keys.append(-1)
+            elif x in r:
+                keys.append(r[x])
+            else:
+                return 0  # neighbor outside the ranked subset
+        if len(set(keys)) != len(keys):
+            return 0  # tied neighbors: parity ill-defined at this stage
+        order = sorted(range(len(orig)), key=lambda i: keys[i])
+        if _permutation_parity(order):
+            return CHI_CW if at.chirality == CHI_CCW else CHI_CCW
+        return at.chirality
+
+    while any(mol.atoms[a].chirality != CHI_NONE for a in atoms):
+        keys = {a: (ranks[a], chiral_descriptor(a, ranks)) for a in atoms}
+        new_ranks = refine(_ranks_from_keys(atoms, keys))
+        if len(set(new_ranks.values())) == len(set(ranks.values())):
+            break
+        ranks = new_ranks
+
     # Tie-break until discrete: split the smallest-rank tied class by
     # promoting one member (deterministically: the one with the smallest
     # current rank-stable signature, falling back to input index — for
@@ -164,7 +204,9 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
                  atom_subset: Optional[Sequence[int]] = None,
                  start: Optional[int] = None,
                  rng: Optional[_random.Random] = None,
-                 with_atom_order: bool = False):
+                 with_atom_order: bool = False,
+                 atom_token_fn=None,
+                 all_bonds_explicit: bool = False):
     """Serialize (a fragment of) a Mol to SMILES.
 
     With `rank_of`, traversal is deterministic in rank order (canonical);
@@ -173,6 +215,11 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
     Returns the string, or (string, atom_output_order) with
     `with_atom_order=True` where atom_output_order[i] = original atom idx of
     the i-th written atom (parity with RDKit's _smilesAtomOutputOrder).
+
+    `atom_token_fn(idx, chirality_out) -> str` overrides the per-atom token
+    (role of RDKit MolFragmentToSmiles atomSymbols=; the template extractor
+    passes strict SMARTS labels); `all_bonds_explicit=True` writes every
+    bond symbol, aromatic as ':' (role of allBondsExplicit=True).
     """
     atoms = list(atom_subset) if atom_subset is not None else list(range(len(mol.atoms)))
     in_set = set(atoms)
@@ -193,7 +240,10 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
             rng.shuffle(out)
             return out
         if rank_of is not None:
-            return sorted(bidxs, key=lambda b: rank_of[mol.bonds[b].other(a)])
+            # out-of-subset neighbors (skipped by the traversal) sort last
+            big = len(mol.atoms)
+            return sorted(bidxs,
+                          key=lambda b: rank_of.get(mol.bonds[b].other(a), big))
         return list(bidxs)
 
     # --- pass 1: recursive DFS (same order as serialization) classifying
@@ -249,7 +299,7 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
         if bond.aromatic:
             # aromatic-aromatic bonds are implicit; aromatic flag on bond
             # implies both ends aromatic here
-            return ""
+            return ":" if all_bonds_explicit else ""
         if bond.direction != 0:
             up = bond.direction == +1
             if bond.a1 != src:
@@ -260,6 +310,8 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
             dir_emit_order.append((b, sym))
             return sym
         if bond.order == SINGLE:
+            if all_bonds_explicit:
+                return "-"
             a1, a2 = mol.atoms[bond.a1], mol.atoms[bond.a2]
             if a1.aromatic and a2.aromatic:
                 return "-"  # explicit single between two aromatic atoms
@@ -271,7 +323,7 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
         endpoints is ambiguous across SMILES dialects)."""
         bond = mol.bonds[b]
         if bond.direction != 0 and not bond.aromatic and bond.order == SINGLE:
-            return ""
+            return "-" if all_bonds_explicit else ""
         return bond_symbol(b, src)
 
     from .mol import H_MARKER
@@ -305,7 +357,8 @@ def write_smiles(mol: Mol, rank_of: Optional[Dict[int, int]] = None,
         child_partners = [mol.bonds[b].other(a) for b in children[a]]
         written.extend(child_partners)
         chi = chirality_out(a, written)
-        pieces.append(_atom_token(mol, a, chi))
+        pieces.append(atom_token_fn(a, chi) if atom_token_fn is not None
+                      else _atom_token(mol, a, chi))
         # ring closure digits
         for b in ring_bonds_at[a]:
             if b in ring_digit:

@@ -184,6 +184,52 @@ class SmilesParseError(ValueError):
     pass
 
 
+def remove_explicit_hydrogens(mol: Mol) -> Mol:
+    """Fold removable explicit [H] atoms into their neighbor's H count
+    (role of RDKit AllChem.RemoveHs, reference template_extractor.py:541-542).
+
+    An H atom is kept when it is charged, isotopic, atom-mapped, not
+    single-bonded to exactly one heavy atom, or bonded to another H —
+    mirroring RDKit's conservative defaults.
+    """
+    drop = set()
+    for atom in mol.atoms:
+        if atom.symbol != "H" or atom.charge != 0 or atom.isotope != 0 \
+                or atom.atom_map != 0:
+            continue
+        if len(mol.adj[atom.idx]) != 1:
+            continue
+        bond = mol.bonds[mol.adj[atom.idx][0]]
+        if bond.order != SINGLE or bond.aromatic:
+            continue
+        other = mol.atoms[bond.other(atom.idx)]
+        if other.symbol == "H":
+            continue
+        drop.add(atom.idx)
+        # bracket-specified neighbors absorb the H into their explicit
+        # count; organic-subset neighbors re-infer implicit H after rebuild
+        if other.explicit_h >= 0:
+            other.explicit_h += 1
+    if not drop:
+        return mol
+    out = Mol()
+    remap: Dict[int, int] = {}
+    for a in mol.atoms:
+        if a.idx in drop:
+            continue
+        remap[a.idx] = out.add_atom(Atom(
+            symbol=a.symbol, aromatic=a.aromatic, charge=a.charge,
+            isotope=a.isotope, explicit_h=a.explicit_h, atom_map=a.atom_map,
+            chirality=a.chirality))
+    for b in mol.bonds:
+        if b.a1 in drop or b.a2 in drop:
+            continue
+        out.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic,
+                     b.direction)
+    out.assign_implicit_h()
+    return out
+
+
 _BRACKET_RE = re.compile(
     r"^(?P<isotope>\d+)?"
     r"(?P<symbol>[A-Z][a-z]?|[a-z]{1,2}|\*)"

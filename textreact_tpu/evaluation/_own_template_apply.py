@@ -100,7 +100,7 @@ def _run_template(product: Mol, site, template: str, info) -> Optional[str]:
     candidates = _site_maps(site, info)
     if not candidates:
         return None
-    for applied in run_retro_template(product, template):
+    for applied in run_retro_template(product, template, check_valence=False):
         found = applied.map_to_product
         if not any(cand.items() <= found.items() for cand in candidates):
             continue

@@ -1,8 +1,12 @@
-"""Template preprocessing (offline, RDKit-gated): extraction + labeling.
+"""Template preprocessing (offline): extraction + labeling, dual engine.
 
-Pure-string SMARTS canonicalization (smarts_canon) is RDKit-free; the graph
-passes (extractor/labeling/processor) require RDKit, like the reference's
-preprocess/template_extraction pipeline.
+Pure-string SMARTS canonicalization (smarts_canon) is engine-free. The
+graph passes run on either engine: the RDKit engine (extractor.py /
+labeling.py) reproduces the reference's preprocess/template_extraction
+strings byte-for-byte when RDKit is importable; the native engine
+(native_extractor.py / native_labeling.py) runs the same pipeline on the
+own chem kit, so template extraction works in RDKit-less environments and
+its templates round-trip through the own reaction engine.
 """
 
 from .smarts_canon import (count_atoms, enumerate_label_orders,

@@ -1,4 +1,4 @@
-"""Retro template extraction from atom-mapped reactions (RDKit-gated).
+"""Retro template extraction from atom-mapped reactions (RDKit engine).
 
 Reimplements the rdchiral-lineage extractor the reference vendors
 (reference preprocess/template_extraction/template_extractor.py:517-626,
@@ -114,6 +114,11 @@ def changed_atoms(reactants, products, remote: bool = True
         if rtag not in tags and rtag not in prod_tags:
             atoms.append(reac_atoms[j])
             tags.append(rtag)
+    # reference clears isotope labels after detection (clear_isotope,
+    # template_extractor.py:186-187) so fragments are isotope-free
+    for mol in list(reactants) + list(products):
+        for atom in mol.GetAtoms():
+            atom.SetIsotope(0)
     return atoms, tags
 
 
@@ -245,15 +250,25 @@ def _demap_except(smiles_list: List[str], keep_maps) -> list:
     return sorted(mols, key=lambda m: m.GetNumAtoms(), reverse=True)
 
 
-def extract_template(rxn_smiles_or_dict, settings: Optional[Dict] = None
-                     ) -> Dict:
+def extract_template(rxn_smiles_or_dict, settings: Optional[Dict] = None,
+                     engine: str = "auto") -> Dict:
     """Extract a canonical retro template + edit labels from one mapped
     reaction (reference extract_from_reaction, template_extractor.py:517-626).
 
     Returns a dict with reaction_smarts / edits / H_change / Charge_change /
     Chiral_change / replacement_dict etc., or just {'reaction_id'} when the
     reaction cannot be processed.
+
+    `engine`: 'rdkit' reproduces the reference's template strings (requires
+    RDKit); 'native' runs the same pipeline on the own chem kit; 'auto'
+    picks rdkit when importable, else native — keeping extraction and
+    decoding (evaluation/template_decode.py) on the same engine.
     """
+    if engine == "auto":
+        engine = "rdkit" if HAS_RDKIT else "native"
+    if engine == "native":
+        from .native_extractor import extract_template_native
+        return extract_template_native(rxn_smiles_or_dict, settings)
     _require_rdkit()
     settings = {**DEFAULT_SETTINGS, **(settings or {})}
     if isinstance(rxn_smiles_or_dict, str):

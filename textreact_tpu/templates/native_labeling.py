@@ -1,46 +1,47 @@
-"""Edit-site labeling for extracted templates (RDKit engine + dispatch).
+"""Edit-site labeling on the own chem kit (RDKit-free engine).
 
-Reimplements reference preprocess/template_extraction/
-template_extract_utils.py: classify each changed atom/bond as a
-leaving-group attachment (A), broken bond (B), changed bond (C) or remote
-participant (R), map atom-map numbers to atom indices and renumbered
-template positions, and record per-atom H/charge/chirality deltas.
+Native twin of labeling.py with identical semantics over chem.mol.Mol
+(reference preprocess/template_extraction/template_extract_utils.py:74-340):
+classify each changed atom/bond as a leaving-group attachment (A), broken
+bond (B), changed bond (C) or remote participant (R); map atom-map numbers
+to atom indices and renumbered template positions; record per-atom
+H/charge/chirality deltas. Input invariant (established by the extractor's
+clean_map_and_sort step, template_extractor.py:523-525): every atom map in
+`edit_maps` is present on BOTH sides of the reaction.
 """
 
 from __future__ import annotations
 
 from typing import Dict, List, Sequence, Set, Tuple
 
-from ..chem.rdkit_bridge import HAS_RDKIT
+from ..chem.mol import AROMATIC, DOUBLE, Mol, SINGLE, TRIPLE, parse_smiles
+from .labeling import _atoms_to_positions, _bonds_to_positions
 
-if HAS_RDKIT:
-    from rdkit import Chem
-    from rdkit.Chem.rdchem import ChiralType
-
-    CHIRAL_INT = {ChiralType.CHI_UNSPECIFIED: 0,
-                  ChiralType.CHI_TETRAHEDRAL_CW: 1,
-                  ChiralType.CHI_TETRAHEDRAL_CCW: 2}
-
-_BOND_SYM = {"SINGLE": "-", "DOUBLE": "=", "TRIPLE": "#", "AROMATIC": "@"}
+_ORDER_SYM = {SINGLE: "-", DOUBLE: "=", TRIPLE: "#"}
 
 
-def _bond_desc(bond) -> str:
+def _bond_desc(mol: Mol, bond) -> str:
+    """Order-independent bond descriptor incl. endpoint map numbers
+    (native twin of labeling._bond_desc / reference check_bond_change)."""
     ends = []
-    for a in (bond.GetBeginAtom(), bond.GetEndAtom()):
-        label = str(a.GetAtomicNum())
-        if a.HasProp("molAtomMapNumber"):
-            label += a.GetProp("molAtomMapNumber")
+    for idx in (bond.a1, bond.a2):
+        a = mol.atoms[idx]
+        label = str(a.atomic_num)
+        if a.atom_map:
+            label += str(a.atom_map)
         ends.append(label)
     ends.sort()
-    return f"{ends[0]}{_BOND_SYM[str(bond.GetBondType())]}{ends[1]}"
+    sym = "@" if bond.aromatic else _ORDER_SYM.get(bond.order, "-")
+    return f"{ends[0]}{sym}{ends[1]}"
 
 
-def _map_to_idx(mol) -> Dict[int, int]:
-    return {a.GetAtomMapNum(): a.GetIdx() for a in mol.GetAtoms()}
+def _map_to_idx(mol: Mol) -> Dict[int, int]:
+    return {a.atom_map: a.idx for a in mol.atoms}
 
 
-def _bond_changed(b1, b2) -> bool:
-    return b1 is not None and b2 is not None and _bond_desc(b1) != _bond_desc(b2)
+def _bond_changed(mol1: Mol, b1, mol2: Mol, b2) -> bool:
+    return (b1 is not None and b2 is not None
+            and _bond_desc(mol1, b1) != _bond_desc(mol2, b2))
 
 
 def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
@@ -49,8 +50,8 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
     numbers (reference label_retro_edit_site,
     template_extract_utils.py:74-131)."""
     edit_maps = [int(m) for m in edit_maps]
-    pmol = Chem.MolFromSmiles(product_smiles)
-    rmol = Chem.MolFromSmiles(reactant_smiles)
+    pmol = parse_smiles(product_smiles)
+    rmol = parse_smiles(reactant_smiles)
     pmap, rmap = _map_to_idx(pmol), _map_to_idx(rmol)
     used: Set[int] = set()
     grow_atoms: List[int] = []
@@ -61,8 +62,8 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
         for b in edit_maps:
             if a >= b:
                 continue
-            pb = pmol.GetBondBetweenAtoms(pmap[a], pmap[b])
-            rb = rmol.GetBondBetweenAtoms(rmap[a], rmap[b])
+            pb = pmol.bond_between(pmap[a], pmap[b])
+            rb = rmol.bond_between(rmap[a], rmap[b])
             if pb is not None and rb is None:  # bond broken in retro
                 broken_bonds.append((a, b))
                 used.update((a, b))
@@ -70,10 +71,10 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
     for a in edit_maps:
         if a in used:
             continue
-        patom = pmol.GetAtomWithIdx(pmap[a])
-        ratom = rmol.GetAtomWithIdx(rmap[a])
-        p_nbrs = sorted(n.GetAtomMapNum() for n in patom.GetNeighbors())
-        r_nbrs = sorted(n.GetAtomMapNum() for n in ratom.GetNeighbors())
+        p_nbrs = sorted(pmol.atoms[n].atom_map
+                        for n in pmol.neighbors(pmap[a]))
+        r_nbrs = sorted(rmol.atoms[n].atom_map
+                        for n in rmol.neighbors(rmap[a]))
         if p_nbrs != r_nbrs:  # leaving group attaches here
             used.add(a)
             grow_atoms.append(a)
@@ -82,9 +83,10 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
         for b in edit_maps:
             if a >= b:
                 continue
-            pb = pmol.GetBondBetweenAtoms(pmap[a], pmap[b])
-            rb = rmol.GetBondBetweenAtoms(rmap[a], rmap[b])
-            if _bond_changed(pb, rb) and a not in used and b not in used:
+            pb = pmol.bond_between(pmap[a], pmap[b])
+            rb = rmol.bond_between(rmap[a], rmap[b])
+            if _bond_changed(pmol, pb, rmol, rb) \
+                    and a not in used and b not in used:
                 changed_bonds.append((a, b))
                 changed_bonds.append((b, a))
 
@@ -94,8 +96,7 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
     for a in edit_maps:
         if a in involved:
             continue
-        atom = rmol.GetAtomWithIdx(rmap[a])
-        nbr_maps = [n.GetAtomMapNum() for n in atom.GetNeighbors()]
+        nbr_maps = [rmol.atoms[n].atom_map for n in rmol.neighbors(rmap[a])]
         if any(b in nbr_maps for b in involved):
             continue
         # one remote entry per neighbor (reference weights by degree,
@@ -107,17 +108,16 @@ def label_retro_edit_sites(product_smiles: str, reactant_smiles: str,
 def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
                              edit_maps: Sequence[int]):
     """Forward-synthesis labeling (reference label_foward_edit_site,
-    template_extract_utils.py:133-244). Kept for forward-template support."""
+    template_extract_utils.py:133-244)."""
     edit_maps = [int(m) for m in edit_maps]
-    rmol = Chem.MolFromSmiles(reactant_smiles)
-    pmol = Chem.MolFromSmiles(product_smiles)
+    rmol = parse_smiles(reactant_smiles)
+    pmol = parse_smiles(product_smiles)
     rmap, pmap = _map_to_idx(rmol), _map_to_idx(pmol)
 
     def pbond(a, b):
-        try:
-            return pmol.GetBondBetweenAtoms(pmap[a], pmap[b])
-        except KeyError:
+        if a not in pmap or b not in pmap:
             return None
+        return pmol.bond_between(pmap[a], pmap[b])
 
     formed, broken, changed = [], [], []
     acceptors1: Set[int] = set()
@@ -128,7 +128,7 @@ def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
         for b in edit_maps:
             if a >= b:
                 continue
-            pb, rb = pbond(a, b), rmol.GetBondBetweenAtoms(rmap[a], rmap[b])
+            pb, rb = pbond(a, b), rmol.bond_between(rmap[a], rmap[b])
             if rb is not None and pb is None:
                 if a in pmap:
                     broken.append((a, b))
@@ -141,8 +141,9 @@ def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
         for b in edit_maps:
             if a >= b:
                 continue
-            pb, rb = pbond(a, b), rmol.GetBondBetweenAtoms(rmap[a], rmap[b])
-            if _bond_changed(rb, pb):
+            pb, rb = pbond(a, b), rmol.bond_between(rmap[a], rmap[b])
+            if pb is not None and rb is not None \
+                    and _bond_desc(pmol, pb) != _bond_desc(rmol, rb):
                 changed.append((a, b))
                 changed.append((b, a))
                 acceptors2.update((a, b))
@@ -151,7 +152,7 @@ def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
         for b in edit_maps:
             if a >= b:
                 continue
-            pb, rb = pbond(a, b), rmol.GetBondBetweenAtoms(rmap[a], rmap[b])
+            pb, rb = pbond(a, b), rmol.bond_between(rmap[a], rmap[b])
             if rb is None and pb is not None:
                 in1 = (a in acceptors1, b in acceptors1)
                 in2 = (a in acceptors2, b in acceptors2)
@@ -188,8 +189,7 @@ def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
     for a in edit_maps:
         if a in involved:
             continue
-        atom = rmol.GetAtomWithIdx(rmap[a])
-        nbr_maps = [n.GetAtomMapNum() for n in atom.GetNeighbors()]
+        nbr_maps = [rmol.atoms[n].atom_map for n in rmol.neighbors(rmap[a])]
         if any(b in nbr_maps for b in involved):
             continue
         remote_bonds.extend((a, n) for n in nbr_maps)
@@ -199,66 +199,33 @@ def label_forward_edit_sites(reactant_smiles: str, product_smiles: str,
 def chs_changes(smiles1: str, smiles2: str, edit_maps: Sequence[int],
                 replacement: Dict[int, int], use_stereo: bool):
     """Per-template-position H/charge/chirality deltas (reference
-    label_CHS_change, template_extract_utils.py:246-270)."""
-    mol1, mol2 = Chem.MolFromSmiles(smiles1), Chem.MolFromSmiles(smiles2)
+    label_CHS_change, template_extract_utils.py:246-270). Explicit-H counts
+    follow RDKit GetNumExplicitHs semantics: the bracket-specified count,
+    0 for unbracketed atoms."""
+    mol1, mol2 = parse_smiles(smiles1), parse_smiles(smiles2)
     map1, map2 = _map_to_idx(mol1), _map_to_idx(mol2)
+
+    def explicit_h(atom) -> int:
+        return atom.explicit_h if atom.explicit_h >= 0 else 0
+
     h, c, s = {}, {}, {}
     for m in (int(x) for x in edit_maps):
         if m not in map2:
             continue
-        a1 = mol1.GetAtomWithIdx(map1[m])
-        a2 = mol2.GetAtomWithIdx(map2[m])
-        h[replacement[m]] = a2.GetNumExplicitHs() - a1.GetNumExplicitHs()
-        c[replacement[m]] = int(a2.GetFormalCharge()) - int(a1.GetFormalCharge())
-        s1, s2 = CHIRAL_INT[a1.GetChiralTag()], CHIRAL_INT[a2.GetChiralTag()]
+        a1 = mol1.atoms[map1[m]]
+        a2 = mol2.atoms[map2[m]]
+        h[replacement[m]] = explicit_h(a2) - explicit_h(a1)
+        c[replacement[m]] = a2.charge - a1.charge
+        s1, s2 = a1.chirality, a2.chirality  # same ints as labeling.CHIRAL_INT
         s[replacement[m]] = 0 if (s2 == s1 or not use_stereo) else s2
     return map1, h, c, s
 
 
-def _bonds_to_positions(bond_maps, idx_of: Dict[int, int],
-                        pos_of: Dict[int, int], sort: bool = False,
-                        remote: bool = False):
-    """(atom-idx pairs, map pairs, template-position pairs) per bond
-    (reference bondmap2idx, template_extract_utils.py:272-294)."""
-    idxs = [(idx_of[a], idx_of[b]) for a, b in bond_maps]
-    if remote:
-        temps = list({(pos_of[a], -1) for a, _ in bond_maps})
-        return idxs, list(bond_maps), temps
-    temps = [(pos_of[a], pos_of[b]) for a, b in bond_maps]
-    if not sort:
-        return idxs, list(bond_maps), temps
-    s_idx, s_map, s_tmp = [], [], []
-    for i, m, t in zip(idxs, bond_maps, temps):
-        if t[0] < t[1]:
-            s_idx.append(i)
-            s_map.append(m)
-            s_tmp.append(t)
-        else:
-            s_idx.append(tuple(i[::-1]))
-            s_map.append(tuple(m[::-1]))
-            s_tmp.append(tuple(t[::-1]))
-    return s_idx, s_map, s_tmp
-
-
-def _atoms_to_positions(atom_maps, idx_of, pos_of):
-    return ([idx_of[m] for m in atom_maps], list(atom_maps),
-            [pos_of[m] for m in atom_maps])
-
-
 def match_label(reactants: str, products: str, replacement_dict: Dict,
                 edit_maps: Sequence[str], retro: bool = True,
-                remote: bool = True, use_stereo: bool = True,
-                engine: str = "rdkit"):
+                remote: bool = True, use_stereo: bool = True):
     """Full labeling of one extracted reaction (reference match_label,
-    template_extract_utils.py:301-326). engine='native' delegates to the
-    own-chem-kit twin (native_labeling)."""
-    if engine == "auto":
-        engine = "rdkit" if HAS_RDKIT else "native"
-    if engine == "native":
-        from . import native_labeling
-        return native_labeling.match_label(
-            reactants, products, replacement_dict, edit_maps,
-            retro=retro, remote=remote, use_stereo=use_stereo)
+    template_extract_utils.py:301-326), native engine."""
     smiles1, smiles2 = (products, reactants) if retro else (reactants, products)
     replacement = {int(k): int(v) for k, v in replacement_dict.items()}
     idx_of, h_change, charge_change, chiral_change = chs_changes(
@@ -283,20 +250,12 @@ def match_label(reactants: str, products: str, replacement_dict: Dict,
     return edits, h_change, charge_change, chiral_change
 
 
-def bonds_from_smiles(smiles: str, engine: str = "auto"
-                      ) -> Set[Tuple[int, int]]:
-    """All directed bonded atom-index pairs of a molecule (reference
-    get_bonds_from_smiles, template_extract_utils.py:328-340)."""
-    if engine == "auto":
-        engine = "rdkit" if HAS_RDKIT else "native"
-    if engine == "native":
-        from . import native_labeling
-        return native_labeling.bonds_from_smiles(smiles)
-    mol = Chem.MolFromSmiles(smiles)
+def bonds_from_smiles(smiles: str) -> Set[Tuple[int, int]]:
+    """All directed bonded atom-index pairs (reference get_bonds_from_smiles,
+    template_extract_utils.py:328-340), native engine."""
+    mol = parse_smiles(smiles)
     out: Set[Tuple[int, int]] = set()
-    for atom in mol.GetAtoms():
-        for bond in atom.GetBonds():
-            other = bond.GetEndAtomIdx() if bond.GetBeginAtomIdx() == atom.GetIdx() \
-                else bond.GetBeginAtomIdx()
-            out.add((atom.GetIdx(), other))
+    for atom in mol.atoms:
+        for other in mol.neighbors(atom.idx):
+            out.add((atom.idx, other))
     return out

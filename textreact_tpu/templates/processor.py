@@ -1,4 +1,4 @@
-"""Template preprocessing driver: extract + label (RDKit-gated, offline).
+"""Template preprocessing driver: extract + label (offline, dual engine).
 
 Role of reference preprocess/get_templates.py (LocalRetroProcessor): pass 1
 extracts templates from the mapped training reactions into
@@ -7,6 +7,12 @@ re-extracts every split and writes preprocessed_{split}.csv with per-
 reaction edit Labels, the product's original-atom -> canonical-atom index
 permutation, and the canonical product's bond list — exactly the artifacts
 data/templates.py consumes at train time.
+
+Engine selection ('auto' default): the RDKit engine reproduces reference
+template strings; the native engine runs the whole pipeline on the own chem
+kit, so preprocessing works in RDKit-less environments. One run uses one
+engine throughout (extraction, labeling, canonicalization), matching the
+engine evaluation/template_decode.py will pick at decode time.
 """
 
 from __future__ import annotations
@@ -42,15 +48,34 @@ def full_template(template: str, h_change: Dict, charge_change: Dict,
     return "_".join([template, h_code, c_code, s_code])
 
 
-def canonical_product(smiles: str) -> Tuple[str, List[int]]:
+def canonical_product(smiles: str, engine: str = "auto"
+                      ) -> Tuple[str, List[int]]:
     """Demap + canonicalize; returns (canonical smiles, original atom idx ->
     canonical atom idx) (reference get_templates.py:41-56)."""
-    from rdkit import Chem
-    mol = Chem.MolFromSmiles(smiles)
-    for a in mol.GetAtoms():
-        a.SetAtomMapNum(0)
-    canon = Chem.MolToSmiles(mol)
-    perm = ast.literal_eval(mol.GetProp("_smilesAtomOutputOrder"))
+    if engine == "auto":
+        engine = "rdkit" if HAS_RDKIT else "native"
+    if engine == "native":
+        from ..chem.canon import canonical_ranks, write_smiles
+        from ..chem.mol import parse_smiles
+        mol = parse_smiles(smiles)
+        for a in mol.atoms:
+            a.atom_map = 0
+        ranks = canonical_ranks(mol)
+        frag_outs = []
+        for frag in mol.fragment_atom_sets():
+            s, order = write_smiles(mol, rank_of=ranks, atom_subset=frag,
+                                    with_atom_order=True)
+            frag_outs.append((s, order))
+        frag_outs.sort(key=lambda t: t[0])  # canonical_smiles fragment order
+        canon = ".".join(s for s, _ in frag_outs)
+        perm = [i for _, order in frag_outs for i in order]
+    else:
+        from rdkit import Chem
+        mol = Chem.MolFromSmiles(smiles)
+        for a in mol.GetAtoms():
+            a.SetAtomMapNum(0)
+        canon = Chem.MolToSmiles(mol)
+        perm = ast.literal_eval(mol.GetProp("_smilesAtomOutputOrder"))
     orig2canon = [0] * len(perm)
     for canon_idx, orig_idx in enumerate(perm):
         orig2canon[orig_idx] = canon_idx
@@ -62,11 +87,15 @@ class TemplateProcessor:
     a 'rxn_smiles' column of atom-mapped reactions."""
 
     def __init__(self, train_file: str, val_file: str, test_file: str,
-                 output_path: str, settings: Optional[Dict] = None):
-        if not HAS_RDKIT:
+                 output_path: str, settings: Optional[Dict] = None,
+                 engine: str = "auto"):
+        if engine == "auto":
+            engine = "rdkit" if HAS_RDKIT else "native"
+        if engine == "rdkit" and not HAS_RDKIT:
             raise NotImplementedError(
-                "template preprocessing runs on RDKit (offline pass, as in "
-                "the reference get_templates.py); install rdkit")
+                "engine='rdkit' requires RDKit; use engine='native' (own "
+                "chem kit) in RDKit-less environments")
+        self.engine = engine
         self.files = {"train": train_file, "val": val_file, "test": test_file}
         self.output_path = output_path
         self.settings = {**PIPELINE_SETTINGS, **(settings or {})}
@@ -74,7 +103,11 @@ class TemplateProcessor:
 
     # -- reference Processor.check_data_format (get_templates.py:81-103) --
     def check_data_format(self, n_rows: int = 100) -> None:
-        from rdkit import Chem
+        if self.engine == "rdkit":
+            from rdkit import Chem
+            parse = Chem.MolFromSmiles
+        else:
+            from ..chem.mol import parse_smiles as parse
         for fn in self.files.values():
             assert os.path.exists(fn), f"{fn} does not exist"
             with open(fn) as f:
@@ -83,8 +116,8 @@ class TemplateProcessor:
                         break
                     assert "rxn_smiles" in row, f"{fn}: missing rxn_smiles"
                     reactants, _, products = row["rxn_smiles"].split(">")
-                    Chem.MolFromSmiles(reactants)
-                    Chem.MolFromSmiles(products)
+                    parse(reactants)
+                    parse(products)
         log.info("data format check passed")
 
     def run(self) -> None:
@@ -115,7 +148,8 @@ class TemplateProcessor:
             try:
                 result = extract_template(
                     {"reactants": rxn.split(">")[0],
-                     "products": rxn.split(">")[-1], "_id": i}, self.settings)
+                     "products": rxn.split(">")[-1], "_id": i},
+                    self.settings, engine=self.engine)
                 if "reaction_smarts" not in result:
                     continue
                 chiral = result["Chiral_change"] if self.settings["use_stereo"] else {}
@@ -180,14 +214,15 @@ class TemplateProcessor:
                 reactant, _, product = rxn.split(">")
                 record = {"Reactants": reactant, "Products": product,
                           "Reagents": "", "Labels": [], "Frequency": 0}
-                canon, orig2canon = canonical_product(product)
+                canon, orig2canon = canonical_product(product, self.engine)
                 record["ProductCanonSmiles"] = canon
                 record["ProductAtomIdx2CanonIdx"] = orig2canon
-                record["ProductCanonBonds"] = bonds_from_smiles(canon)
+                record["ProductCanonBonds"] = bonds_from_smiles(
+                    canon, engine=self.engine)
                 try:
                     result = extract_template(
                         {"reactants": reactant, "products": product, "_id": i},
-                        self.settings)
+                        self.settings, engine=self.engine)
                     key = full_template(result["reaction_smarts"],
                                         result["H_change"],
                                         result["Charge_change"],
@@ -195,7 +230,8 @@ class TemplateProcessor:
                     record["Reactants"] = result["reactants"]
                     record["Products"] = result["products"]
                     record["Reagents"] = ".".join(result["necessary_reagent"])
-                    canon, orig2canon = canonical_product(result["products"])
+                    canon, orig2canon = canonical_product(result["products"],
+                                                          self.engine)
                     record["ProductAtomIdx2CanonIdx"] = orig2canon
                     if key in infos:
                         edits = {t: result["edits"][t][0]
@@ -256,9 +292,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--valid_file", required=True)
     p.add_argument("--test_file", required=True)
     p.add_argument("--output_path", required=True)
+    p.add_argument("--engine", default="auto",
+                   choices=("auto", "rdkit", "native"))
     args = p.parse_args(argv)
     proc = TemplateProcessor(args.train_file, args.valid_file, args.test_file,
-                             args.output_path)
+                             args.output_path, engine=args.engine)
     proc.check_data_format()
     proc.run()
 

@@ -53,6 +53,10 @@ def invert_chain(template: str) -> str:
     if len(nums) == 3 and nums[0] < nums[2]:
         return template
     bonds = [""] + [sorted(b)[1] for b in _BOND_AFTER_BRACKET.findall(template)]
+    if len(bonds) != len(symbols):
+        # bond symbols outside -=#: (e.g. stereo '/' '\\') are invisible to
+        # the regex; reversing would drop them — leave the chain as-is
+        return template
     return "".join(f"{a}{b}" for a, b in zip(symbols[::-1], bonds[::-1]))
 
 
@@ -71,6 +75,8 @@ def invert_template(template: str) -> str:
     rev = bonds[::-1]
     if not bonds or ")" in template or bond_rank(bonds) <= bond_rank(rev):
         return template
+    if len(bonds) != (len(labels) if ring else len(labels) - 1):
+        return template  # stereo '/' '\\' bonds: reversal would drop them
     all_labels = _ANY_BRACKET.findall(template)[::-1]
     out = all_labels[0]
     for i in range(len(rev)):
