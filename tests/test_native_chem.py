@@ -90,3 +90,15 @@ def test_native_canonical_fallback():
     from textreact_tpu.chem.native import native_canonical_smiles
     assert native_canonical_smiles("garbage(((") == "garbage((("
     assert native_canonical_smiles("garbage(((", fallback="X") == "X"
+
+
+def test_native_canonical_batch_matches_single():
+    from textreact_tpu.chem.native import (native_canonical_batch,
+                                           native_canonical_smiles)
+    from test_chem_fuzz import DRUGS
+    mixed = list(DRUGS[:20]) + ["garbage(((", "", "CCO.CC(=O)O"]
+    batch = native_canonical_batch(mixed)
+    assert len(batch) == len(mixed)
+    for smi, got in zip(mixed, batch):
+        assert got == native_canonical_smiles(smi), smi
+    assert native_canonical_batch([]) == []

@@ -509,6 +509,8 @@ size_t count_classes(const std::map<int, int>& r) {
   return vals.size();
 }
 
+int permutation_parity(std::vector<int> perm);
+
 std::map<int, int> canonical_ranks(const Mol& mol,
                                    const std::vector<int>& atoms) {
   std::map<int, bool> in_set;
@@ -543,6 +545,51 @@ std::map<int, int> canonical_ranks(const Mol& mol,
   };
 
   ranks = refine(ranks);
+
+  // Stereo-aware refinement (bit-identical mirror of canon.py): split
+  // rank-tied chiral atoms by the spelling-invariant descriptor
+  // tag (x) parity(SMILES neighbor order -> rank order); without it a
+  // meso compound written from either end canonicalizes differently.
+  bool any_chiral = false;
+  for (int a : atoms)
+    if (mol.atoms[a].chirality != CHI_NONE) { any_chiral = true; break; }
+  while (any_chiral) {
+    std::map<int, Key> keys;
+    for (int a : atoms) {
+      long long d = 0;
+      const Atom& at = mol.atoms[a];
+      if (at.chirality != CHI_NONE && a < (int)mol.nbr_order.size() &&
+          !mol.nbr_order[a].empty()) {
+        const std::vector<int>& orig = mol.nbr_order[a];
+        std::vector<long long> ks;
+        ks.reserve(orig.size());
+        bool ok = true;
+        for (int x : orig) {
+          if (x == H_MARKER) ks.push_back(-1);
+          else if (ranks.count(x)) ks.push_back(ranks.at(x));
+          else { ok = false; break; }  // neighbor outside ranked subset
+        }
+        if (ok) {
+          std::set<long long> uniq(ks.begin(), ks.end());
+          if (uniq.size() == ks.size()) {  // ties: parity ill-defined
+            std::vector<int> order(orig.size());
+            for (size_t i = 0; i < order.size(); ++i) order[i] = (int)i;
+            std::sort(order.begin(), order.end(),
+                      [&](int i, int j) { return ks[i] < ks[j]; });
+            if (permutation_parity(order))
+              d = at.chirality == CHI_CCW ? CHI_CW : CHI_CCW;
+            else
+              d = at.chirality;
+          }
+        }
+      }
+      keys[a] = Key{ranks.at(a), d};
+    }
+    auto nr = refine(ranks_from_keys(atoms, keys));
+    if (count_classes(nr) == count_classes(ranks)) break;
+    ranks = std::move(nr);
+  }
+
   while (count_classes(ranks) < atoms.size()) {
     // split the lowest tied class at its lowest-index member
     std::map<int, std::vector<int>> by_rank;
@@ -1033,6 +1080,30 @@ int cchem_canonical_smiles(const char* smiles, char* out, int out_cap) {
   } catch (...) {
     return 1;
   }
+}
+
+// Batched canonicalization: NUL-separated input blob of n_rows strings ->
+// NUL-separated output blob (unparseable inputs echo back verbatim, the
+// reference evaluate.py:27-32 contract). Returns bytes written incl. final
+// NUL, or -1 if out_cap is too small. One ctypes crossing per beam list
+// instead of one per prediction (retro eval hot path, evaluate.py:67).
+int cchem_canonical_smiles_batch(const char* smiles_blob, int n_rows,
+                                 char* out, int out_cap) {
+  const char* p = smiles_blob;
+  int written = 0;
+  for (int row = 0; row < n_rows; ++row) {
+    std::string canon;
+    try {
+      canon = canonical_smiles_impl(p);
+    } catch (...) {
+      canon = p;
+    }
+    if (written + (int)canon.size() + 1 > out_cap) return -1;
+    memcpy(out + written, canon.c_str(), canon.size() + 1);
+    written += (int)canon.size() + 1;
+    p += strlen(p) + 1;
+  }
+  return written;
 }
 
 }  // extern "C"

@@ -62,6 +62,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.cchem_canonical_smiles.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int]
         lib.cchem_canonical_smiles.restype = ctypes.c_int
+        lib.cchem_canonical_smiles_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int]
+        lib.cchem_canonical_smiles_batch.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -102,6 +105,22 @@ def native_morgan_batch(smiles_list: Sequence[str], radius: int = 2,
     lib.cchem_morgan_fp_batch(blob, len(smiles_list), radius, n_bits,
                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
     return out
+
+
+def native_canonical_batch(smiles_list: Sequence[str]) -> list:
+    """Batched canonical SMILES via the C++ engine, one ctypes crossing for
+    the whole list; unparseable entries echo back verbatim (reference
+    evaluate.py:27-32 contract)."""
+    lib = get_lib()
+    assert lib is not None
+    if not smiles_list:
+        return []
+    blob = b"\x00".join(s.encode() for s in smiles_list) + b"\x00"
+    cap = 4 * len(blob) + 64 * len(smiles_list)
+    buf = ctypes.create_string_buffer(cap)
+    n = lib.cchem_canonical_smiles_batch(blob, len(smiles_list), buf, cap)
+    assert n > 0, "batch canonicalization buffer overflow"
+    return bytes(buf.raw[:n - 1]).decode().split("\x00")
 
 
 def native_canonical_smiles(smiles: str, fallback: Optional[str] = None) -> str:
