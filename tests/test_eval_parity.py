@@ -144,3 +144,39 @@ def test_retro_unparseable_gold_falls_back_to_string_match():
     prediction = {0: {"prediction": ["not_a_smiles"], "score": [0]}}
     acc = evaluate_retrosynthesis(prediction, data_df, top_k=20)
     assert acc[1] == 1.0
+
+
+def test_retro_metric_pooled_matches_serial_and_is_fast():
+    """VERDICT r3 item 5: USPTO-50K-scale scoring (5k examples x 20 beams)
+    must finish well under 30 s and the pooled path must produce the
+    identical accuracy dict to the serial path (reference pools exactly
+    this step, evaluate.py:67)."""
+    import random
+    import time
+
+    rng = random.Random(0)
+    frags = ["CCO", "CC(=O)O", "c1ccccc1Br", "CCN(CC)CC", "CC(C)O",
+             "C1CCOC1", "CC(=O)Nc1ccccc1", "COC(=O)c1ccccc1"]
+    n, beams = 5000, 20
+    golds, prediction = [], {}
+    for i in range(n):
+        gold = ".".join(rng.sample(frags, 2))
+        golds.append(gold)
+        rank = rng.randrange(beams + 5)  # some examples never match
+        preds = [".".join(rng.sample(frags, 2)) for _ in range(beams)]
+        if rank < beams:
+            preds[rank] = gold
+        prediction[i] = {"prediction": preds, "score": [0.0] * beams}
+    data_df = pd.DataFrame({"reactant_smiles": golds})
+
+    dt = float("inf")
+    for _ in range(2):  # best-of-2: robust to transient host load spikes
+        t0 = time.time()
+        pooled = evaluate_retrosynthesis(prediction, data_df, top_k=beams,
+                                         num_workers=8)
+        dt = min(dt, time.time() - t0)
+        if dt < 30:
+            break
+    serial = evaluate_retrosynthesis(prediction, data_df, top_k=beams)
+    assert pooled == serial
+    assert dt < 30, f"pooled retro scoring took {dt:.1f}s"

@@ -35,7 +35,18 @@ def _canon(smiles: str) -> str:
 
 def compare_pred_and_gold(pred: Sequence[str], gold: str) -> int:
     """Rank (0-based) of the first prediction whose canonical form equals
-    the canonical gold; NO_MATCH if none (reference evaluate.py:35-40)."""
+    the canonical gold; NO_MATCH if none (reference evaluate.py:35-40).
+
+    Without RDKit, the whole beam list is canonicalized in one C++ call
+    (one ctypes crossing) when the native kernel is available."""
+    if not HAS_RDKIT:
+        from ..chem.native import native_available
+        if native_available():
+            from ..chem.native import native_canonical_batch
+            for i, smiles in enumerate(native_canonical_batch(list(pred))):
+                if smiles == gold:
+                    return i
+            return NO_MATCH
     for i, smiles in enumerate(_canon(s) for s in pred):
         if smiles == gold:
             return i
@@ -62,6 +73,15 @@ def evaluate_retrosynthesis(prediction: Dict[int, Dict[str, Any]],
     else:
         pred_list = [prediction[i]["prediction"] for i in range(num_example)]
 
-    indices: List[int] = [compare_pred_and_gold(p, g)
-                          for p, g in zip(pred_list, gold_list)]
+    # per-example prediction canonicalization + compare is the slow link at
+    # USPTO-50K scale (num_beams x N strings): pooled like the reference
+    # (evaluate.py:67, p.starmap(_compare_pred_and_gold, ...))
+    if num_workers > 1:
+        with multiprocessing.Pool(num_workers) as p:
+            indices: List[int] = p.starmap(
+                compare_pred_and_gold, zip(pred_list, gold_list),
+                chunksize=max(1, num_example // (num_workers * 4)))
+    else:
+        indices = [compare_pred_and_gold(p, g)
+                   for p, g in zip(pred_list, gold_list)]
     return {x: sum(i < x for i in indices) / num_example for x in TOP_KS}
