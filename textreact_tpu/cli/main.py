@@ -122,8 +122,8 @@ def parse_config(argv: Optional[List[str]] = None) -> ExperimentConfig:
     return ExperimentConfig(**d).validate()
 
 
-def main(argv: Optional[List[str]] = None) -> None:
-    run(parse_config(argv))
+def main(argv: Optional[List[str]] = None):
+    return run(parse_config(argv))
 
 
 if __name__ == "__main__":

@@ -457,8 +457,10 @@ class Trainer:
         return 1000
 
 
-def run(cfg: ExperimentConfig) -> None:
-    """Full experiment driver (reference main.py:349-412)."""
+def run(cfg: ExperimentConfig):
+    """Full experiment driver (reference main.py:349-412). Returns the test
+    accuracy dicts (one per eval corpus) when --do_test ran, else None —
+    recorded by scripts/parity_run.py."""
     trainer = Trainer(cfg)
     trainer.prepare_data()
     if cfg.do_train:
@@ -466,4 +468,5 @@ def run(cfg: ExperimentConfig) -> None:
     if cfg.do_valid:
         trainer.validate()
     if cfg.do_test:
-        trainer.test()
+        return trainer.test()
+    return None
