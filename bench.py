@@ -7,10 +7,23 @@ this image, so the baseline is an exact CPU brute-force scan over the SAME
 int8 vectors via BLAS (which is what IndexFlatL2 does internally: GEMM +
 selection). Parity is asserted before timing.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Round-3 stabilization (VERDICT r2 items 2/6): both sides are best-of-N
+(the TPU side was previously a single 5-rep average while the CPU side was
+best-of-3 — the asymmetry made the ratio wobble with relay noise), and a
+device-only per-call time is measured with an on-device fori_loop over
+loop-variant queries (host<->device transfer and the ~30-60 ms fixed relay
+cost excluded), reported alongside the end-to-end number.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"} (the
+driver contract); the device-only figure rides in "unit".
+
+Env overrides: BENCH_N / BENCH_M for corpus / query-batch size (e.g.
+BENCH_N=700000 for the USPTO-condition-scale capture recorded in
+BASELINE.md).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,28 +32,71 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
+
+    from textreact_tpu.ops.topk import numpy_reference_topk, pad_matrix
     from textreact_tpu.retrieval import FlatIndex
-    from textreact_tpu.ops.topk import numpy_reference_topk
 
     on_tpu = jax.default_backend() not in ("cpu",)
     N, D, K = (200_000, 1024, 20) if on_tpu else (20_000, 256, 20)
+    N = int(os.environ.get("BENCH_N", N))
     # large query batch amortizes the host<->device transfer per call
-    M = 8192 if on_tpu else 128
+    M = int(os.environ.get("BENCH_M", 8192 if on_tpu else 128))
 
     rng = np.random.default_rng(0)
     corpus = (rng.random((N, D)) < 0.08).astype(np.int8)
     queries = (rng.random((M, D)) < 0.08).astype(np.int8)
 
-    # --- TPU engine ---
+    # --- TPU engine, end-to-end (includes host<->device each call) ---
     index = FlatIndex(corpus, mesh=None, tile_q=128, tile_c=2048,
                       interpret=not on_tpu)
     vals, idx = index.search(queries, k=K)          # compile + warm
-    t0 = time.perf_counter()
     reps = 5 if on_tpu else 1
-    for _ in range(reps):
-        vals, idx = index.search(queries, k=K)
-    dt = (time.perf_counter() - t0) / reps
+    rounds = 3 if on_tpu else 1
+    dt = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            vals, idx = index.search(queries, k=K)
+        dt = min(dt, (time.perf_counter() - t0) / reps)
     qps = M / dt
+
+    # --- device-only per-call time: on-device loop, loop-variant queries
+    # (NOTES.md relay lesson: per-call timing through the tunnel carries a
+    # fixed ~30-60 ms cost and block_until_ready does not wait reliably;
+    # only the R-vs-1 loop delta isolates true device time) ---
+    qps_device = None
+    if on_tpu and index._search_fn is not None:
+        fn = index._search_fn
+        qpad = jnp.asarray(pad_matrix(queries, index.tile_q, 128))
+        banned = jnp.full((qpad.shape[0], 1), -1, dtype=jnp.int32)
+
+        def make_loop(r):
+            @jax.jit
+            def loop(q0):
+                def body(i, carry):
+                    acc, qq = carry
+                    qq = jnp.roll(qq, 1, axis=0)  # keep the input loop-variant
+                    v, ix = fn(qq, index.corpus, index.norms, banned)
+                    return acc + v[0, 0] + ix[0, 0], qq
+                acc, _ = jax.lax.fori_loop(0, r, body,
+                                           (jnp.int32(0), q0))
+                return acc
+            return loop
+
+        loop_r, loop_1 = make_loop(8), make_loop(1)
+        float(loop_r(qpad))  # compile + warm
+        float(loop_1(qpad))
+        tr = t1 = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(loop_r(qpad))
+            tr = min(tr, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(loop_1(qpad))
+            t1 = min(t1, time.perf_counter() - t0)
+        per_call = max((tr - t1) / 7, 1e-9)
+        qps_device = M / per_call
 
     # --- correctness: exact parity with float64 brute force on a sample ---
     sample = queries[:64]
@@ -67,10 +123,13 @@ def main():
         cpu_dt = min(cpu_dt, time.perf_counter() - t0)
     cpu_qps = mb / cpu_dt
 
+    dev_note = (f", device-only {qps_device/1e3:.1f}k qps"
+                if qps_device else "")
     out = {
         "metric": "retrieval_qps_exact_top20",
         "value": round(qps, 1),
-        "unit": f"queries/s (N={N}, d={D}, k={K}, {'tpu' if on_tpu else 'cpu-interpret'})",
+        "unit": (f"queries/s (N={N}, d={D}, k={K}, "
+                 f"{'tpu' if on_tpu else 'cpu-interpret'}{dev_note})"),
         "vs_baseline": round(qps / cpu_qps, 2),
     }
     print(json.dumps(out))
