@@ -49,5 +49,10 @@ def load_preprocessed_labels(template_path: str, split: str
     df = pd.read_csv(os.path.join(template_path, f"preprocessed_{split}.csv"))
     labels = [ast.literal_eval(v) for v in df["Labels"]]
     a2c = [ast.literal_eval(v) for v in df["ProductAtomIdx2CanonIdx"]]
-    bonds = [ast.literal_eval(v) for v in df["ProductCanonBonds"]]
+    # ProductCanonBonds is a SET in the processor's CSV (reference
+    # get_bonds_from_smiles returns a set; repr of an empty set is
+    # 'set()', which literal_eval rejects) — normalize to a sorted list so
+    # bond-pair slot order is deterministic across runs
+    bonds = [sorted(ast.literal_eval(v)) if v != "set()" else []
+             for v in df["ProductCanonBonds"]]
     return labels, a2c, bonds
