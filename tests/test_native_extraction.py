@@ -251,3 +251,34 @@ def test_native_extract_bond_cut_fuzz():
                                      decoded, gold)
             checked += 1
     assert checked > 25, checked
+
+
+def test_native_forward_labeling():
+    """Forward-synthesis edit labeling (retro=False): the esterification
+    FORMS the C-O bond — an 'A' (formed-bond) edit pointing at the bond,
+    with the broken C-OH absorbed (reference label_foward_edit_site,
+    template_extract_utils.py:133-244)."""
+    from textreact_tpu.templates.native_labeling import (
+        label_forward_edit_sites)
+    reactants = "[CH3:1][C:2](=[O:3])[OH:4].[CH3:5][O:6]"
+    products = "[CH3:1][C:2](=[O:3])[O:6][CH3:5]"
+    formed, broken, changed, remote = label_forward_edit_sites(
+        reactants, products, [2, 4, 6])
+    assert (2, 6) in formed or (6, 2) in formed, (formed, broken, changed)
+    # the O:4 hydroxyl leaves: broken bond (4 has no product counterpart,
+    # so only the surviving endpoint 2 is recorded as acceptor)
+    assert any(4 in b for b in broken), broken
+
+
+def test_native_extract_use_symbol_false():
+    """use_symbol=False emits generic [A:n] atom queries; the template must
+    still parse with the own SMARTS engine and keep its edit labels."""
+    result = extract_template(REACTIONS[0], engine="native",
+                              settings={"use_symbol": False})
+    assert "reaction_smarts" in result
+    lhs = result["reaction_smarts"].split(">>")[0]
+    assert "[A:" in lhs, lhs
+    from textreact_tpu.chem.smarts import parse_smarts
+    for side in result["reaction_smarts"].split(">>"):
+        assert parse_smarts(side).atoms
+    assert result["edits"]["B"][2]
