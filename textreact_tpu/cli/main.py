@@ -95,6 +95,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--profile", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--layernorm_impl", type=str, choices=["xla", "fused"],
+                   default="xla")
     p.add_argument("--attention_impl", type=str, choices=["xla", "flash"],
                    default="flash")
     p.add_argument("--dropout_rng_impl", type=str,

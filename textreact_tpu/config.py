@@ -93,6 +93,7 @@ class ExperimentConfig:
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
     log_every: int = 10
     attention_impl: str = "flash"  # 'flash' (pallas fused kernels, default) | 'xla'
+    layernorm_impl: str = "xla"    # 'fused' = Pallas residual+LN kernel
     # PRNG for dropout masks: threefry (jax default) costs ~20 ms/step at the
     # flagship geometry on v5e; the hardware RngBitGenerator impls are
     # statistically sound for dropout and fold_in-compatible.

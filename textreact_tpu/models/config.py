@@ -44,6 +44,11 @@ class TransformerConfig:
     # streaming-softmax kernel with valid-prefix block skipping,
     # ops/decode_attention.py — for much larger beam groups/caches).
     decode_attention_impl: str = "xla"
+    # residual-add + LayerNorm: 'xla' or 'fused' (Pallas kernel reading the
+    # activations once, ops/fused_layernorm.py; identical numerics, same
+    # param tree). Applies to the three post-LN sites per block when the
+    # hidden size is lane-aligned.
+    layernorm_impl: str = "xla"
 
     @property
     def head_dim(self) -> int:

@@ -29,6 +29,7 @@ def build_model(cfg: ExperimentConfig, enc_tokenizer, dec_tokenizer):
                                     cfg.max_length),
         vocab_size=max(enc_config.vocab_size, len(enc_tokenizer)),
         attention_impl=cfg.attention_impl,
+        layernorm_impl=cfg.layernorm_impl,
     )
     mlm_layer = cfg.mlm_layer if cfg.mlm else None
     if cfg.template_based:
@@ -46,6 +47,7 @@ def build_model(cfg: ExperimentConfig, enc_tokenizer, dec_tokenizer):
                                     cfg.max_dec_length),
         is_decoder=True, add_cross_attention=True,
         attention_impl=cfg.attention_impl,
+        layernorm_impl=cfg.layernorm_impl,
         pad_token_id=dec_tokenizer.pad_token_id,
         bos_token_id=dec_tokenizer.bos_token_id,
         eos_token_id=dec_tokenizer.eos_token_id,

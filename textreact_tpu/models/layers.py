@@ -346,6 +346,35 @@ class MultiHeadAttention(nn.Module):
                         name="output")(ctx)
 
 
+class ResidualLayerNorm(nn.Module):
+    """LayerNorm(x + res) with the exact param tree of nn.LayerNorm
+    ({scale, bias} under this module's name — checkpoints and the HF
+    importer are unaffected). layernorm_impl='fused' routes through the
+    single-HBM-pass Pallas kernel (ops/fused_layernorm.py); the XLA path
+    reproduces flax.linen.LayerNorm(dtype=float32) fast-variance numerics
+    bit-for-bit."""
+    config: TransformerConfig
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, res: Array) -> Array:
+        cfg = self.config
+        scale = self.param("scale", nn.initializers.ones,
+                           (cfg.hidden_size,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (cfg.hidden_size,), jnp.float32)
+        if cfg.layernorm_impl == "fused" and cfg.hidden_size % 128 == 0:
+            from ..ops.fused_layernorm import fused_residual_layernorm
+            return fused_residual_layernorm(
+                x.astype(self.dtype), res.astype(self.dtype), scale, bias,
+                cfg.layer_norm_eps).astype(self.dtype)
+        z = x.astype(jnp.float32) + res.astype(jnp.float32)
+        mean = jnp.mean(z, axis=-1, keepdims=True)
+        var = jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean
+        xhat = (z - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
+        return (xhat * scale + bias).astype(self.dtype)
+
+
 class FeedForward(nn.Module):
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
@@ -390,18 +419,18 @@ class TransformerBlock(nn.Module):
                                   name="attention")(
             x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic,
             beam_bias=beam_bias)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="attention_norm")(x + dropout(attn)).astype(self.dtype)
+        x = ResidualLayerNorm(cfg, dtype=self.dtype,
+                              name="attention_norm")(x, dropout(attn))
         if cfg.add_cross_attention and encoder_states is not None:
             cross = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
                                        name="crossattention")(
                 x, kv=encoder_states, bias=cross_bias, mask_kv=cross_mask,
                 deterministic=deterministic)
-            x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                             name="crossattention_norm")(x + dropout(cross)).astype(self.dtype)
+            x = ResidualLayerNorm(cfg, dtype=self.dtype,
+                                  name="crossattention_norm")(x, dropout(cross))
         ffn = FeedForward(cfg, dtype=self.dtype, name="ffn")(x)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="ffn_norm")(x + dropout(ffn)).astype(self.dtype)
+        x = ResidualLayerNorm(cfg, dtype=self.dtype,
+                              name="ffn_norm")(x, dropout(ffn))
         return x
 
 
