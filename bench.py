@@ -65,38 +65,48 @@ def main():
     # (NOTES.md relay lesson: per-call timing through the tunnel carries a
     # fixed ~30-60 ms cost and block_until_ready does not wait reliably;
     # only the R-vs-1 loop delta isolates true device time) ---
+    # best-effort: never allowed to sink the headline number (a slow or
+    # failed device-loop compile degrades to reporting end-to-end only);
+    # disable outright with BENCH_DEVICE_ONLY=0
     qps_device = None
-    if on_tpu and index._search_fn is not None:
-        fn = index._search_fn
-        qpad = jnp.asarray(pad_matrix(queries, index.tile_q, 128))
-        banned = jnp.full((qpad.shape[0], 1), -1, dtype=jnp.int32)
+    if (on_tpu and index._search_fn is not None
+            and os.environ.get("BENCH_DEVICE_ONLY", "1") != "0"):
+        try:
+            fn = index._search_fn
+            qpad = jnp.asarray(pad_matrix(queries, index.tile_q, 128))
+            banned = jnp.full((qpad.shape[0], 1), -1, dtype=jnp.int32)
 
-        def make_loop(r):
-            @jax.jit
-            def loop(q0):
-                def body(i, carry):
-                    acc, qq = carry
-                    qq = jnp.roll(qq, 1, axis=0)  # keep the input loop-variant
-                    v, ix = fn(qq, index.corpus, index.norms, banned)
-                    return acc + v[0, 0] + ix[0, 0], qq
-                acc, _ = jax.lax.fori_loop(0, r, body,
-                                           (jnp.int32(0), q0))
-                return acc
-            return loop
+            def make_loop(r):
+                @jax.jit
+                def loop(q0):
+                    def body(i, carry):
+                        acc, qq = carry
+                        qq = jnp.roll(qq, 1, axis=0)  # keep input loop-variant
+                        v, ix = fn(qq, index.corpus, index.norms, banned)
+                        return acc + v[0, 0] + ix[0, 0], qq
+                    acc, _ = jax.lax.fori_loop(0, r, body,
+                                               (jnp.int32(0), q0))
+                    return acc
+                return loop
 
-        loop_r, loop_1 = make_loop(8), make_loop(1)
-        float(loop_r(qpad))  # compile + warm
-        float(loop_1(qpad))
-        tr = t1 = float("inf")
-        for _ in range(3):
+            loop_r, loop_1 = make_loop(4), make_loop(1)
             t0 = time.perf_counter()
+            float(loop_1(qpad))  # compile + warm
+            if time.perf_counter() - t0 > 120:
+                raise TimeoutError("device-loop compile too slow; skipping")
             float(loop_r(qpad))
-            tr = min(tr, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            float(loop_1(qpad))
-            t1 = min(t1, time.perf_counter() - t0)
-        per_call = max((tr - t1) / 7, 1e-9)
-        qps_device = M / per_call
+            tr = t1 = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop_r(qpad))
+                tr = min(tr, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                float(loop_1(qpad))
+                t1 = min(t1, time.perf_counter() - t0)
+            per_call = max((tr - t1) / 3, 1e-9)
+            qps_device = M / per_call
+        except Exception as e:
+            print(f"device-only timing skipped: {e}", file=sys.stderr)
 
     # --- correctness: exact parity with float64 brute force on a sample ---
     sample = queries[:64]

@@ -115,6 +115,10 @@ def main(argv=None) -> int:
     if missing:
         print(f"[parity_run] building neighbor files ({missing}) with the "
               f"fingerprint retriever (reference retrieve_faiss.py)")
+        # the retriever writes unprefixed {train,val,test}.json — point the
+        # run at those, not at absent tevatron-style prefixed names
+        nn_files = {"train": "train.json", "valid": "val.json",
+                    "test": "test.json"}
         retrieval_main([
             "--data_path", args.data_path,
             "--train_file", args.train_file,

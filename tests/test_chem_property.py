@@ -118,3 +118,22 @@ def test_stereo_python_cpp_agreement_fuzz():
             alt, _ = random_smiles(s, rng)
             assert native_canonical_smiles(alt) == \
                 canonical_smiles_strict(alt), (s, alt)
+
+
+def test_explicit_h_fold_matches_rdkit_parse_semantics():
+    """canonical_smiles folds removable explicit [H] atoms like RDKit's
+    MolFromSmiles (removeHs default) — same canonical as the implicit
+    spelling, with stereo parity reconciled through the freed slot; kept
+    for isotopic/charged/H2 hydrogens (review r3 finding)."""
+    from textreact_tpu.chem import canonical_smiles_strict as c
+
+    assert c("[H]OC") == c("OC") == c("CO")
+    assert c("C([H])([H])([H])[H]") == c("C")
+    # enantiomers stay distinct and fold to the RIGHT side
+    assert c("[C@]([H])(N)(O)C") == c("[C@H](N)(O)C")
+    assert c("[C@](N)([H])(O)C") == c("[C@@H](N)(O)C")
+    assert c("[C@]([H])(N)(O)C") != c("[C@](N)([H])(O)C")
+    # not removable: isotope, charge, H-H, atom-mapped
+    assert c("[2H]O[2H]") != c("O")
+    assert c("[H][H]") == "[H][H]"
+    assert "H" in c("[H+].[Cl-]")

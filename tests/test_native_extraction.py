@@ -282,3 +282,24 @@ def test_native_extract_use_symbol_false():
     for side in result["reaction_smarts"].split(">>"):
         assert parse_smarts(side).atoms
     assert result["edits"]["B"][2]
+
+
+@pytest.mark.parametrize("ptag,rtag", [("@", "@@"), ("@@", "@"),
+                                       ("@", "@"), ("@@", "@@")])
+def test_native_extract_stereocenter_roundtrip(ptag, rtag):
+    """SN2-at-a-stereocenter in every tag combination: the Chiral_change
+    code extracted from the canonicalized mapped strings must compose with
+    the decoder's tag patching so the decoded reactant is the RIGHT
+    enantiomer (the raw tags are spelling-relative; only the composition
+    is meaningful — reference label_CHS_change + fix_reactant_atoms)."""
+    rxn = (f"[Br:9][C{rtag}H:1]([CH3:2])[CH2:3][CH3:4].[NH2:5][CH3:6]>>"
+           f"[C{ptag}H:1]([CH3:2])([CH2:3][CH3:4])[NH:5][CH3:6]")
+    result = extract_template(rxn, engine="native")
+    decoded = _decode_with_gold_edits(result)
+    gold = demapped_canonical(parse_smiles(result["reactants"]))
+    assert gold in decoded, (rxn, decoded, gold)
+    # the two input spellings per physical reaction must agree on the gold
+    mirror = demapped_canonical(
+        parse_smiles(result["reactants"])).replace("@@", "X").replace(
+        "@", "@@").replace("X", "@")
+    assert gold != canonical_smiles(mirror) or "@" not in gold

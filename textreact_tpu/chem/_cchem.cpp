@@ -915,8 +915,59 @@ std::vector<std::vector<int>> fragment_atom_sets(const Mol& mol) {
   return comps;
 }
 
+// Fold removable explicit [H] atoms into their neighbor's H count (mirror
+// of chem/mol.py remove_explicit_hydrogens; RDKit MolFromSmiles removeHs
+// default). Kept: charged, isotopic, mapped, non-single-bonded, H-H, or
+// multi-degree hydrogens. A removed H neighbor of a chiral atom keeps its
+// neighbor-order SLOT as the bracket-H marker so tag parity survives.
+Mol remove_explicit_hydrogens_impl(const Mol& mol) {
+  std::vector<bool> drop(mol.atoms.size(), false);
+  bool any = false;
+  std::vector<int> extra_h(mol.atoms.size(), 0);
+  for (size_t i = 0; i < mol.atoms.size(); ++i) {
+    const Atom& a = mol.atoms[i];
+    if (a.symbol != "H" || a.charge != 0 || a.isotope != 0 || a.atom_map != 0)
+      continue;
+    if (mol.adj[i].size() != 1) continue;
+    const Bond& b = mol.bonds[mol.adj[i][0]];
+    if (b.order != SINGLE || b.aromatic) continue;
+    int o = mol.other(mol.adj[i][0], (int)i);
+    if (mol.atoms[o].symbol == "H") continue;
+    drop[i] = true;
+    any = true;
+    extra_h[o] += 1;
+  }
+  if (!any) return mol;
+  Mol out;
+  std::vector<int> remap(mol.atoms.size(), -1);
+  for (size_t i = 0; i < mol.atoms.size(); ++i) {
+    if (drop[i]) continue;
+    Atom a = mol.atoms[i];
+    if (a.explicit_h >= 0) a.explicit_h += extra_h[i];
+    remap[i] = out.add_atom(std::move(a));
+  }
+  for (const Bond& b : mol.bonds) {
+    if (drop[b.a1] || drop[b.a2]) continue;
+    out.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic, b.direction);
+  }
+  out.nbr_order.resize(out.atoms.size());
+  for (size_t i = 0; i < mol.nbr_order.size() && i < mol.atoms.size(); ++i) {
+    if (drop[i]) continue;
+    std::vector<int> entries;
+    for (int x : mol.nbr_order[i]) {
+      if (x == H_MARKER) entries.push_back(H_MARKER);
+      else if (x >= 0 && drop[x]) {
+        if (mol.atoms[i].chirality != CHI_NONE) entries.push_back(H_MARKER);
+      } else entries.push_back(remap[x]);
+    }
+    out.nbr_order[remap[i]] = std::move(entries);
+  }
+  assign_implicit_h(out);
+  return out;
+}
+
 std::string canonical_smiles_impl(const std::string& smiles) {
-  Mol mol = parse_smiles(smiles);
+  Mol mol = remove_explicit_hydrogens_impl(parse_smiles(smiles));
   std::vector<std::string> frags;
   for (auto& frag : fragment_atom_sets(mol)) {
     auto ranks = canonical_ranks(mol, frag);
@@ -993,7 +1044,8 @@ std::vector<uint32_t> morgan_identifiers(const Mol& mol, int radius) {
 int fingerprint_into(const std::string& smiles, int radius, int n_bits,
                      bool counts, int32_t* out) {
   try {
-    Mol mol = parse_smiles(smiles);
+    // RDKit fingerprints post-MolFromSmiles mols (explicit H folded)
+    Mol mol = remove_explicit_hydrogens_impl(parse_smiles(smiles));
     if (mol.atoms.empty()) return 1;
     for (uint32_t id : morgan_identifiers(mol, radius)) {
       int slot = (int)(id % (uint32_t)n_bits);

@@ -462,7 +462,11 @@ def canonical_smiles(smiles: str) -> str:
 
 
 def canonical_smiles_strict(smiles: str) -> str:
-    mol = parse_smiles(smiles)
+    from .mol import remove_explicit_hydrogens
+    # RDKit's MolFromSmiles strips removable explicit [H] atoms at parse
+    # (removeHs default), so '[H]OC' and 'OC' share one reference canonical;
+    # fold the same way (isotopic/charged/mapped/multi-bonded H atoms kept)
+    mol = remove_explicit_hydrogens(parse_smiles(smiles))
     ranks = canonical_ranks(mol)
     frags = [write_smiles(mol, rank_of=ranks, atom_subset=frag)
              for frag in mol.fragment_atom_sets()]

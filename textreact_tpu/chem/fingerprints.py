@@ -101,7 +101,9 @@ def morgan_fingerprint(smiles: str, radius: int = 2, n_bits: int = 1024,
     branch (retrieve_faiss.py:42-43).
     """
     try:
-        mol = parse_smiles(smiles)
+        from .mol import remove_explicit_hydrogens
+        # RDKit fingerprints post-MolFromSmiles mols (explicit H folded)
+        mol = remove_explicit_hydrogens(parse_smiles(smiles))
         if not mol.atoms:
             raise ValueError("empty molecule")
     except Exception:

@@ -226,6 +226,28 @@ def remove_explicit_hydrogens(mol: Mol) -> Mol:
             continue
         out.add_bond(remap[b.a1], remap[b.a2], b.order, b.aromatic,
                      b.direction)
+    # Preserve chirality: the neighbor-order parity must survive the
+    # rebuild. A removed H neighbor of a chiral atom keeps its SLOT as the
+    # bracket-H marker (the parser's convention for [C@H]); other entries
+    # remap to the new indices. Without this the writer serializes the tag
+    # against an arbitrary order and enantiomers collapse/flip.
+    old_order = getattr(mol, "smiles_neighbor_order", None)
+    if old_order is not None:
+        new_order: Dict[int, List[int]] = {}
+        for a, order in old_order.items():
+            if a in drop:
+                continue
+            entries = []
+            for x in order:
+                if x == H_MARKER:
+                    entries.append(H_MARKER)
+                elif x in drop:
+                    if mol.atoms[a].chirality != CHI_NONE:
+                        entries.append(H_MARKER)
+                else:
+                    entries.append(remap[x])
+            new_order[remap[a]] = entries
+        out.smiles_neighbor_order = new_order  # type: ignore[attr-defined]
     out.assign_implicit_h()
     return out
 

@@ -258,7 +258,7 @@ def parse_smarts(pattern: str) -> QueryMol:
             close_ring(int(c))
             i += 1
         elif c == "%":
-            if not pattern[i + 1:i + 3].isdigit():
+            if i + 2 >= n or not pattern[i + 1:i + 3].isdigit():
                 raise SmartsParseError(f"bad %ring closure in {pattern!r}")
             close_ring(int(pattern[i + 1:i + 3]))
             i += 3

@@ -368,11 +368,9 @@ class ResidualLayerNorm(nn.Module):
             return fused_residual_layernorm(
                 x.astype(self.dtype), res.astype(self.dtype), scale, bias,
                 cfg.layer_norm_eps).astype(self.dtype)
-        z = x.astype(jnp.float32) + res.astype(jnp.float32)
-        mean = jnp.mean(z, axis=-1, keepdims=True)
-        var = jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean
-        xhat = (z - mean) * jax.lax.rsqrt(var + cfg.layer_norm_eps)
-        return (xhat * scale + bias).astype(self.dtype)
+        from ..ops.fused_layernorm import residual_layernorm_reference
+        return residual_layernorm_reference(
+            x, res, scale, bias, cfg.layer_norm_eps).astype(self.dtype)
 
 
 class FeedForward(nn.Module):

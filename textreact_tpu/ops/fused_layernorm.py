@@ -40,7 +40,9 @@ def _fwd_kernel(x_ref, y_ref, scale_ref, bias_ref, out_ref, mean_ref,
                 rstd_ref, *, eps):
     z = x_ref[:].astype(jnp.float32) + y_ref[:].astype(jnp.float32)
     mean = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean
+    # fast-variance can go negative in fp; flax clamps to avoid rsqrt NaN
+    var = jnp.maximum(
+        jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean, 0.0)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = (z - mean) * rstd
     out = xhat * scale_ref[0] + bias_ref[0]
@@ -158,10 +160,12 @@ fused_residual_layernorm.defvjp(_vjp_fwd, _fused_bwd)
 
 
 def residual_layernorm_reference(x, y, scale, bias, eps=1e-12):
-    """XLA reference with identical semantics (flax fast-variance LN)."""
+    """XLA reference with identical semantics (flax fast-variance LN,
+    incl. the negative-variance clamp flax applies to avoid rsqrt NaN)."""
     z = x.astype(jnp.float32) + y.astype(jnp.float32)
     mean = jnp.mean(z, axis=-1, keepdims=True)
-    var = jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean
+    var = jnp.maximum(
+        jnp.mean(z * z, axis=-1, keepdims=True) - mean * mean, 0.0)
     xhat = (z - mean) * jax.lax.rsqrt(var + eps)
     return (xhat * scale.astype(jnp.float32)
             + bias.astype(jnp.float32)).astype(x.dtype)

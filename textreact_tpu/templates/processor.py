@@ -56,8 +56,12 @@ def canonical_product(smiles: str, engine: str = "auto"
         engine = "rdkit" if HAS_RDKIT else "native"
     if engine == "native":
         from ..chem.canon import canonical_ranks, write_smiles
-        from ..chem.mol import parse_smiles
-        mol = parse_smiles(smiles)
+        from ..chem.mol import parse_smiles, remove_explicit_hydrogens
+        # RDKit's MolFromSmiles strips removable explicit [H] atoms at
+        # parse (removeHs default) — the extraction pipeline's atom
+        # numbering assumes the same, so the native path must match or
+        # Labels/a2c would address a different atom count
+        mol = remove_explicit_hydrogens(parse_smiles(smiles))
         for a in mol.atoms:
             a.atom_map = 0
         ranks = canonical_ranks(mol)
@@ -116,8 +120,14 @@ class TemplateProcessor:
                         break
                     assert "rxn_smiles" in row, f"{fn}: missing rxn_smiles"
                     reactants, _, products = row["rxn_smiles"].split(">")
-                    parse(reactants)
-                    parse(products)
+                    # RDKit's MolFromSmiles returns None on bad input (the
+                    # reference check ignores it); the stricter native
+                    # parser raises — tolerate per-row, like the passes do
+                    try:
+                        parse(reactants)
+                        parse(products)
+                    except Exception as e:
+                        log.warning("%s row %d: unparseable (%s)", fn, i, e)
         log.info("data format check passed")
 
     def run(self) -> None:
