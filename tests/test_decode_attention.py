@@ -73,3 +73,20 @@ def test_kernel_skips_stale_tail():
                                     jnp.int32(cur), scale,
                                     interpret=jax.default_backend() == "cpu")
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_kernel_at_retro_scale_shapes():
+    """Exact flagship retro geometry (G=20 beams, H=12, D=64, T=160) —
+    the shapes the head-batched block-diagonal formulation must serve."""
+    rng = np.random.default_rng(3)
+    B, G, H, D, T, cur = 1, 20, 12, 64, 160, 37
+    q = jnp.asarray(rng.standard_normal((B, G, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, D, T, G)) * 0.1, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, D, T, G)) * 0.1, jnp.float32)
+    bias = _ancestry_bias(rng, B, G, T, cur)
+    scale = 1.0 / np.sqrt(D)
+    ref = _reference(q, k, v, bias, scale)
+    got = grouped_decode_attention(q, k, v, bias, jnp.int32(cur), scale,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
