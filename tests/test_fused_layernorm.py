@@ -117,3 +117,77 @@ def test_model_fused_vs_xla_layernorm_equivalence():
     got = fused_model.apply(params, **batch, deterministic=True)["logits"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_in_kernel_dropout_matches_masked_reference():
+    """p > 0: the fused output must equal the reference computed with the
+    SAME keep mask (reconstructable in interpret mode from the seed), and
+    gradients must flow through the mask identically."""
+    from textreact_tpu.ops.fused_layernorm import fused_residual_layernorm
+
+    rng = np.random.default_rng(4)
+    shape = (8, 16, 64)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    y = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(shape[-1]), jnp.float32)
+    p = 0.3
+    drop_rng = jax.random.PRNGKey(7)
+    # reconstruct the interpret-mode keep mask from the derived seed
+    seed = jax.random.randint(drop_rng, (1,), 0,
+                              jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    key = jax.random.fold_in(jax.random.PRNGKey(0), seed[0])
+    keep = (jax.random.uniform(key, (np.prod(shape[:-1]), shape[-1]))
+            >= p).reshape(shape)
+    y_ref = jnp.where(keep, y / (1 - p), 0.0)
+
+    got = fused_residual_layernorm(x, y, scale, bias, dropout_p=p,
+                                   dropout_rng=drop_rng)
+    ref = residual_layernorm_reference(x, y_ref, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def loss_fused(x, y, s, b):
+        return jnp.sum(fused_residual_layernorm(
+            x, y, s, b, dropout_p=p, dropout_rng=drop_rng) * g)
+
+    def loss_ref(x, y, s, b):
+        yr = jnp.where(keep, y / (1 - p), 0.0)
+        return jnp.sum(residual_layernorm_reference(x, yr, s, b) * g)
+
+    got_g = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(x, y, scale, bias)
+    ref_g = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, y, scale, bias)
+    for a, b_ in zip(got_g, ref_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_model_fused_dropout_trains():
+    """Training mode with hidden dropout through the fused path must run
+    and produce finite, seed-deterministic outputs that differ across
+    dropout seeds."""
+    from textreact_tpu.models import SCIBERT_BASE
+    from textreact_tpu.models.encoder import Encoder
+
+    enc_cfg = SCIBERT_BASE.replace(
+        vocab_size=64, hidden_size=128, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=256,
+        max_position_embeddings=32, layernorm_impl="fused",
+        attention_impl="xla", hidden_dropout_prob=0.2)
+    model = Encoder(enc_cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 64, (2, 16)), jnp.int32)
+    mask = jnp.ones((2, 16), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids,
+                        attention_mask=mask)
+    outs = []
+    for seed in (1, 1, 2):
+        out = model.apply(params, input_ids=ids, attention_mask=mask,
+                          deterministic=False,
+                          rngs={"dropout": jax.random.PRNGKey(seed)})
+        outs.append(np.asarray(out, np.float32))
+    assert np.isfinite(outs[0]).all()
+    np.testing.assert_array_equal(outs[0], outs[1])  # same seed -> same mask
+    assert not np.array_equal(outs[0], outs[2])      # seed changes mask

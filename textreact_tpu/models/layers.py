@@ -347,17 +347,19 @@ class MultiHeadAttention(nn.Module):
 
 
 class ResidualLayerNorm(nn.Module):
-    """LayerNorm(x + res) with the exact param tree of nn.LayerNorm
-    ({scale, bias} under this module's name — checkpoints and the HF
-    importer are unaffected). layernorm_impl='fused' routes through the
-    single-HBM-pass Pallas kernel (ops/fused_layernorm.py); the XLA path
-    reproduces flax.linen.LayerNorm(dtype=float32) fast-variance numerics
-    bit-for-bit."""
+    """LayerNorm(x + dropout(res)) with the exact param tree of
+    nn.LayerNorm ({scale, bias} under this module's name — checkpoints and
+    the HF importer are unaffected). layernorm_impl='fused' routes through
+    the single-HBM-pass Pallas kernel (ops/fused_layernorm.py) with the
+    dropout mask generated in-kernel; the XLA path reproduces
+    flax.linen.LayerNorm(dtype=float32) fast-variance numerics bit-for-bit
+    (its caller applies nn.Dropout itself and passes dropout_p=0)."""
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, res: Array) -> Array:
+    def __call__(self, x: Array, res: Array, dropout_p: float = 0.0,
+                 deterministic: bool = True) -> Array:
         cfg = self.config
         scale = self.param("scale", nn.initializers.ones,
                            (cfg.hidden_size,), jnp.float32)
@@ -365,9 +367,13 @@ class ResidualLayerNorm(nn.Module):
                           (cfg.hidden_size,), jnp.float32)
         if cfg.layernorm_impl == "fused" and cfg.hidden_size % 128 == 0:
             from ..ops.fused_layernorm import fused_residual_layernorm
+            p = 0.0 if deterministic else float(dropout_p)
+            rng = self.make_rng("dropout") if p > 0.0 else None
             return fused_residual_layernorm(
                 x.astype(self.dtype), res.astype(self.dtype), scale, bias,
-                cfg.layer_norm_eps).astype(self.dtype)
+                cfg.layer_norm_eps, dropout_p=p,
+                dropout_rng=rng).astype(self.dtype)
+        assert dropout_p == 0.0, "xla path expects pre-applied dropout"
         from ..ops.fused_layernorm import residual_layernorm_reference
         return residual_layernorm_reference(
             x, res, scale, bias, cfg.layer_norm_eps).astype(self.dtype)
@@ -407,8 +413,19 @@ class TransformerBlock(nn.Module):
                  beam_bias: Optional[Array] = None) -> Array:
         cfg = self.config
 
-        def dropout(y):
-            return nn.Dropout(cfg.hidden_dropout_prob)(y, deterministic=deterministic)
+        fused_ln = (cfg.layernorm_impl == "fused"
+                    and cfg.hidden_size % 128 == 0)
+
+        def res_norm(name, x, y):
+            # fused path folds the residual dropout into the LN kernel
+            # (mask generated on-chip); xla path keeps nn.Dropout outside
+            if fused_ln:
+                return ResidualLayerNorm(cfg, dtype=self.dtype, name=name)(
+                    x, y, dropout_p=cfg.hidden_dropout_prob,
+                    deterministic=deterministic)
+            y = nn.Dropout(cfg.hidden_dropout_prob)(
+                y, deterministic=deterministic)
+            return ResidualLayerNorm(cfg, dtype=self.dtype, name=name)(x, y)
 
         attn = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
                                   causal_hint=self.causal,
@@ -417,18 +434,15 @@ class TransformerBlock(nn.Module):
                                   name="attention")(
             x, bias=self_bias, mask_kv=self_mask, deterministic=deterministic,
             beam_bias=beam_bias)
-        x = ResidualLayerNorm(cfg, dtype=self.dtype,
-                              name="attention_norm")(x, dropout(attn))
+        x = res_norm("attention_norm", x, attn)
         if cfg.add_cross_attention and encoder_states is not None:
             cross = MultiHeadAttention(cfg, dtype=self.dtype, decode=self.decode,
                                        name="crossattention")(
                 x, kv=encoder_states, bias=cross_bias, mask_kv=cross_mask,
                 deterministic=deterministic)
-            x = ResidualLayerNorm(cfg, dtype=self.dtype,
-                                  name="crossattention_norm")(x, dropout(cross))
+            x = res_norm("crossattention_norm", x, cross)
         ffn = FeedForward(cfg, dtype=self.dtype, name="ffn")(x)
-        x = ResidualLayerNorm(cfg, dtype=self.dtype,
-                              name="ffn_norm")(x, dropout(ffn))
+        x = res_norm("ffn_norm", x, ffn)
         return x
 
 
