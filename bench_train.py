@@ -7,6 +7,7 @@ examples/s; the reference trains the same geometry with global batch 128 on
 number.
 """
 
+import argparse
 import json
 import time
 
@@ -16,16 +17,24 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layernorm_impl", default="xla",
+                    choices=["xla", "fused"],
+                    help="A/B the fused residual+dropout+LN kernel")
+    ap.add_argument("--batch_size", type=int, default=32)
+    args = ap.parse_args()
     from textreact_tpu.config import ExperimentConfig
     from textreact_tpu.models import BERT_L6_DECODER, SCIBERT_BASE, EncoderDecoder
     from textreact_tpu.train.optim import make_optimizer
     from textreact_tpu.train.step import TrainState, make_train_step
 
-    B, L, Ld = 32, 512, 16
+    B, L, Ld = args.batch_size, 512, 16
     module = EncoderDecoder(
-        encoder_config=SCIBERT_BASE.replace(attention_impl="flash"),
-        decoder_config=BERT_L6_DECODER.replace(vocab_size=315,
-                                               attention_impl="flash"),
+        encoder_config=SCIBERT_BASE.replace(
+            attention_impl="flash", layernorm_impl=args.layernorm_impl),
+        decoder_config=BERT_L6_DECODER.replace(
+            vocab_size=315, attention_impl="flash",
+            layernorm_impl=args.layernorm_impl),
         dtype=jnp.bfloat16, mlm_layer="mlp")
     cfg = ExperimentConfig(task="condition", mlm=True, mlm_lambda=0.1,
                            compute_dtype="bfloat16")
@@ -63,7 +72,7 @@ def main():
     print(json.dumps({
         "metric": "train_examples_per_sec_rcr_flagship",
         "value": round(B / dt, 1),
-        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16+flash, 1 chip)",
+        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16+flash, ln={args.layernorm_impl}, 1 chip)",
         "vs_baseline": None,
     }))
 
