@@ -303,10 +303,17 @@ def numpy_reference_topk(queries: np.ndarray, corpus: np.ndarray, k: int,
                          banned: Optional[np.ndarray] = None
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Brute-force faiss-flat semantics: ascending distance, ties by lower
-    index (the parity oracle for the kernel)."""
+    index (the parity oracle for the kernel).
+
+    The GEMM runs in float64 BLAS rather than numpy's loop-based integer
+    matmul (30+ min at N=700k): every product of int8 entries summed over
+    d<=2^13 stays below 127*127*2^13 < 2^27 << 2^53, so float64
+    accumulation is bit-exact and the int64 cast below is lossless."""
     q = queries.astype(np.int64)
     c = corpus.astype(np.int64)
-    d2 = (q * q).sum(1)[:, None] - 2 * q @ c.T + (c * c).sum(1)[None, :]
+    dot = (queries.astype(np.float64) @ corpus.astype(np.float64).T)
+    d2 = ((q * q).sum(1)[:, None] - 2 * dot.astype(np.int64)
+          + (c * c).sum(1)[None, :])
     if banned is not None:
         for i in range(q.shape[0]):
             for b in banned[i]:
