@@ -18,7 +18,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layernorm_impl", default="xla",
+    ap.add_argument("--layernorm_impl", default="fused",
                     choices=["xla", "fused"],
                     help="A/B the fused residual+dropout+LN kernel")
     ap.add_argument("--batch_size", type=int, default=32)

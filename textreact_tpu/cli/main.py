@@ -96,7 +96,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--layernorm_impl", type=str, choices=["xla", "fused"],
-                   default="xla")
+                   default="fused")
     p.add_argument("--attention_impl", type=str, choices=["xla", "flash"],
                    default="flash")
     p.add_argument("--dropout_rng_impl", type=str,

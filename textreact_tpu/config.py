@@ -93,7 +93,10 @@ class ExperimentConfig:
     dec_length_buckets: Tuple[int, ...] = (16, 32, 64, 96, 128, 160)
     log_every: int = 10
     attention_impl: str = "flash"  # 'flash' (pallas fused kernels, default) | 'xla'
-    layernorm_impl: str = "xla"    # 'fused' = Pallas residual+LN kernel
+    # 'fused' (default) = Pallas residual+dropout+LN kernel, one HBM pass
+    # per LN site (+7% step throughput at the flagship geometry on v5e);
+    # only engages when hidden_size % 128 == 0, else falls back to 'xla'
+    layernorm_impl: str = "fused"
     # PRNG for dropout masks: threefry (jax default) costs ~20 ms/step at the
     # flagship geometry on v5e; the hardware RngBitGenerator impls are
     # statistically sound for dropout and fold_in-compatible.

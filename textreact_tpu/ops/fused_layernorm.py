@@ -97,9 +97,16 @@ def _bwd_kernel(seed_ref, x_ref, y_ref, keep_ref, g_ref, scale_ref,
     dz = rstd * (gi - h - xhat * hx)
     dx_ref[:] = dz.astype(dx_ref.dtype)
     dy_ref[:] = (dz * dmask).astype(dy_ref.dtype)
-    # per-row-block partials; summed over blocks outside the kernel
-    dscale_ref[0] = jnp.sum(g * xhat, axis=0)
-    dbias_ref[0] = jnp.sum(g, axis=0)
+    # dscale/dbias accumulate across the sequential TPU grid into one
+    # VMEM-resident (1, H) block (a (1, H) per-step partial output would
+    # violate Mosaic's (8, 128) block divisibility)
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dscale_ref[:] = jnp.zeros_like(dscale_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    dscale_ref[0] += jnp.sum(g * xhat, axis=0)
+    dbias_ref[0] += jnp.sum(g, axis=0)
 
 
 def _host_keep(seed, dropout_p, R, H, interpret):
@@ -164,8 +171,8 @@ def _bwd_call(x2, y2, scale, seed, mean, rstd, g2, dropout_p, interpret):
         ],
         out_specs=[
             _row_spec(BR, H), _row_spec(BR, H),
-            pl.BlockSpec((1, H), lambda r, s: (r, 0)),
-            pl.BlockSpec((1, H), lambda r, s: (r, 0)),
+            pl.BlockSpec((1, H), lambda r, s: (0, 0)),
+            pl.BlockSpec((1, H), lambda r, s: (0, 0)),
         ],
     )
     return pl.pallas_call(
@@ -173,8 +180,8 @@ def _bwd_call(x2, y2, scale, seed, mean, rstd, g2, dropout_p, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((R, H), x2.dtype),
             jax.ShapeDtypeStruct((R, H), x2.dtype),
-            jax.ShapeDtypeStruct((R // BR, H), jnp.float32),
-            jax.ShapeDtypeStruct((R // BR, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
+            jax.ShapeDtypeStruct((1, H), jnp.float32),
         ],
         interpret=interpret,
     )(seed, x2, y2, keep, g2, scale.reshape(1, H).astype(jnp.float32),
@@ -197,8 +204,8 @@ def _vjp_bwd(eps, dropout_p, interpret, res, g):
     x2, y2, scale, seed, mean, rstd = res
     dx, dy, dscale_p, dbias_p = _bwd_call(x2, y2, scale, seed, mean, rstd,
                                           g, dropout_p, interpret)
-    dscale = jnp.sum(dscale_p, axis=0).astype(scale.dtype)
-    dbias = jnp.sum(dbias_p, axis=0).astype(scale.dtype)
+    dscale = dscale_p[0].astype(scale.dtype)
+    dbias = dbias_p[0].astype(scale.dtype)
     return dx, dy, dscale, dbias, None
 
 
