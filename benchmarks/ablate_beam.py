@@ -18,11 +18,10 @@ from textreact_tpu.inference.predictor import Generator
 B, L, K, T = 32, 512, 20, 160
 
 
-def build(dec_vocab=590, decode_impl="xla"):
+def build(dec_vocab=590):
     enc = SCIBERT_BASE
     dec = BERT_L6_DECODER.replace(vocab_size=dec_vocab,
-                                  max_position_embeddings=max(T, 160),
-                                  decode_attention_impl=decode_impl)
+                                  max_position_embeddings=max(T, 160))
     module = EncoderDecoder(encoder_config=enc, decoder_config=dec,
                             dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -141,16 +140,6 @@ if __name__ == "__main__":
         t, seqs, scores = timeit(gen, batch, reps=5)
         print(f"beam B={B} K={K} T={T}: {t*1e3:.0f} ms/batch "
               f"({B / t:.1f} ex/s)", flush=True)
-        sys.exit(0)
-    if sel == "fused":
-        # A/B: head-batched fused decode-attention kernel vs the XLA path
-        # (the Generator plans a single full window for the fused kernel;
-        # its valid-prefix block skipping replaces the segment schedule)
-        module, params, batch = build(decode_impl="fused")
-        gen = Generator(module, params, num_beams=K, max_length=T)
-        t, seqs, scores = timeit(gen, batch)
-        print(f"fused beam B={B} K={K} T={T}: {t:.2f} s/batch  "
-              f"({t / T * 1e3:.1f} ms/step, {B / t:.1f} ex/s)", flush=True)
         sys.exit(0)
     module, params, batch = build()
     if sel == "full":

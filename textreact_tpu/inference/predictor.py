@@ -25,10 +25,6 @@ class Generator:
         self.num_beams = num_beams
         self.max_length = max_length
         self.dec_config = module.decoder_config
-        # the fused decode kernel does its own prefix skipping and needs
-        # full-width biases; the XLA path uses the segmented schedule
-        if self.dec_config.decode_attention_impl == "fused":
-            attn_windows = [max_length]
         self.attn_windows = attn_windows
         self.step_model = DecoderStep(decoder_config=self.dec_config,
                                       dtype=module.dtype,

@@ -38,12 +38,6 @@ class TransformerConfig:
     # — hidden-state dropout still applies). 2-D bond masks and cached
     # decoding always take the xla path.
     attention_impl: str = "xla"
-    # grouped beam decode attention: 'xla' (batched einsum over the merged
-    # (t, g) cache axis — fastest at beam counts <= ~20, where the fused
-    # kernel's per-head matmuls are latency-bound) or 'fused' (Pallas
-    # streaming-softmax kernel with valid-prefix block skipping,
-    # ops/decode_attention.py — for much larger beam groups/caches).
-    decode_attention_impl: str = "xla"
     # residual-add + LayerNorm: 'xla' or 'fused' (Pallas kernel reading the
     # activations once, ops/fused_layernorm.py; identical numerics, same
     # param tree). Applies to the three post-LN sites per block when the

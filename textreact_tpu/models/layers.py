@@ -241,8 +241,7 @@ class MultiHeadAttention(nn.Module):
             cache_len = self.cache_len or cfg.max_position_embeddings
             is_initialized = self.has_variable("cache", "cached_key")
             # (Bex, H, D, T, G): head-major, D as sublanes, (t, g) merged as
-            # lanes — the ops/decode_attention.py kernel (and the XLA
-            # fallback einsums) read it transpose-free
+            # lanes — the attention einsums read it transpose-free
             cached_k = self.variable("cache", "cached_key", jnp.zeros,
                                      (Bex, H, D, cache_len, G), self.dtype)
             cached_v = self.variable("cache", "cached_value", jnp.zeros,
@@ -272,30 +271,23 @@ class MultiHeadAttention(nn.Module):
                 # (inference/beam.py segments the decode): the attention
                 # reads only that prefix of the cache
                 win = beam_bias.shape[-1] // G
-                if (cfg.decode_attention_impl == "fused"
-                        and win == cache_len
-                        and jax.default_backend() == "tpu"):
-                    # fused kernel: on-chip streaming softmax + t-block skip
-                    # past the decoded prefix (traffic ∝ cur_len, not T).
-                    # NOT the default: at beam counts <= ~20 the XLA batched
-                    # einsum below measures faster (12.6 vs 14.9 ms/step at
-                    # retro scale) — the kernel's per-head (G x BT*G)
-                    # matmuls are latency-bound at tiny G.
-                    from ..ops.decode_attention import grouped_decode_attention
-                    ctx = grouped_decode_attention(
-                        q2, k_all, v_all, beam_bias, idx + 1, sm_scale,
-                        interpret=False)
-                else:
-                    k2 = k_all[:, :, :, :win].reshape(Bex, H, D, win * G)
-                    v2 = v_all[:, :, :, :win].reshape(Bex, H, D, win * G)
-                    scores = jnp.einsum("bghd,bhdk->bhgk", q2, k2,
-                                        preferred_element_type=jnp.float32)
-                    scores = scores * sm_scale
-                    scores = scores + beam_bias[:, None].astype(jnp.float32)
-                    probs = jax.nn.softmax(scores, axis=-1)
-                    ctx = jnp.einsum("bhgk,bhdk->bghd",
-                                     probs.astype(self.dtype), v2,
-                                     preferred_element_type=jnp.float32)
+                # batched einsum over the merged (t, g) cache axis; the
+                # segment schedule in inference/beam.py bounds `win` so
+                # early steps read only a cache prefix. (A Pallas
+                # streaming-softmax kernel with valid-prefix block skipping
+                # was A/B'd here across two rounds and lost at every
+                # shipped beam count — 22.4 vs 10.4 ms/step at retro
+                # geometry even head-batched — so it was removed.)
+                k2 = k_all[:, :, :, :win].reshape(Bex, H, D, win * G)
+                v2 = v_all[:, :, :, :win].reshape(Bex, H, D, win * G)
+                scores = jnp.einsum("bghd,bhdk->bhgk", q2, k2,
+                                    preferred_element_type=jnp.float32)
+                scores = scores * sm_scale
+                scores = scores + beam_bias[:, None].astype(jnp.float32)
+                probs = jax.nn.softmax(scores, axis=-1)
+                ctx = jnp.einsum("bhgk,bhdk->bghd",
+                                 probs.astype(self.dtype), v2,
+                                 preferred_element_type=jnp.float32)
                 ctx = ctx.astype(self.dtype).reshape(x.shape[0], 1, H * D)
                 return nn.Dense(cfg.hidden_size, kernel_init=init,
                                 dtype=self.dtype, name="output")(ctx)
