@@ -52,21 +52,22 @@ def timeit(gen, batch, reps=3):
 
 
 def probe_loop(module, params, batch, bias_mode="ancestor", topk=True,
-               seqs=False, n_steps=None, K_=None):
+               seqs=False, n_steps=None, K_=None, win=None):
     """Stripped beam loop for component ablation (row-stable cache design):
     fixed fori_loop with individually removable stages. NOT semantically a
     beam search when stages are off — perf probe only.
 
     bias_mode: 'ancestor' (real per-step bias build), 'const' (precomputed
-    bias — isolates the bias-build cost), 'none' (per-row legacy path)."""
+    bias — isolates the bias-build cost)."""
     from textreact_tpu.inference.beam import ancestor_bias
     from textreact_tpu.models import DecoderStep
 
     K2 = K_ or K
-    steps = n_steps or (T - 1)
+    W = win or T
+    steps = n_steps or (W - 1)
     cfg = module.decoder_config
     step_model = DecoderStep(decoder_config=cfg, dtype=module.dtype,
-                             cache_len=T)
+                             cache_len=T, beam_groups=K2)
 
     @jax.jit
     def run(params, input_ids, attention_mask):
@@ -81,7 +82,8 @@ def probe_loop(module, params, batch, bias_mode="ancestor", topk=True,
         V = cfg.vocab_size
         live_scores = jnp.tile(jnp.array([0.0] + [-1e7] * (K2 - 1)), (B, 1))
         src0 = jnp.zeros((B, K2, T), jnp.int32)
-        const_bias = ancestor_bias(src0, jnp.asarray(T, jnp.int32), B, K2, T)
+        const_bias = ancestor_bias(src0[:, :, :W], jnp.asarray(W, jnp.int32),
+                                   B, K2, W)
 
         def body(i, carry):
             live_scores, cache, tok, src = carry
@@ -89,11 +91,9 @@ def probe_loop(module, params, batch, bias_mode="ancestor", topk=True,
                 src, jnp.tile(jnp.arange(K2, dtype=jnp.int32)[None, :, None],
                               (B, 1, 1)), i - 1, axis=2)
             if bias_mode == "ancestor":
-                bias = ancestor_bias(src, i, B, K2, T)
-            elif bias_mode == "const":
-                bias = const_bias
+                bias = ancestor_bias(src[:, :, :W], i, B, K2, W)
             else:
-                bias = None
+                bias = const_bias
             logits, vars_out = step_model.apply(
                 {**step_params, "cache": cache}, tok, enc, enc_mask, i,
                 bias, mutable=["cache"])
@@ -108,8 +108,8 @@ def probe_loop(module, params, batch, bias_mode="ancestor", topk=True,
                 src = jnp.take_along_axis(src, beam_sel[:, :, None], axis=1)
             else:
                 live_scores = cand.max(axis=-1)
-                tok = cand.argmax(axis=-1)[..., :1].reshape(B, K2)[:, :1]
-                tok = jnp.tile(tok, (1, K2)).reshape(B * K2, 1).astype(jnp.int32)
+                tok = jnp.tile(cand.argmax(axis=-1)[:, :1].astype(jnp.int32),
+                               (1, K2)).reshape(B * K2, 1)
             return live_scores, cache, tok, src
 
         tok0 = jnp.full((B * K2, 1), cfg.bos_token_id, jnp.int32)
@@ -151,9 +151,11 @@ if __name__ == "__main__":
         variants = {
             "probe": dict(),
             "constbias": dict(bias_mode="const"),
-            "perrow": dict(bias_mode="none"),
             "notopk": dict(topk=False),
             "k4": dict(K_=4),
+            "win40": dict(win=40),
+            "win80": dict(win=80),
+            "k4win40": dict(K_=4, win=40),
         }
         for name in (variants if sel == "all" else [sel]):
             ms = probe_loop(module, params, batch, **variants[name]) * 1e3

@@ -38,6 +38,11 @@ class TransformerConfig:
     # — hidden-state dropout still applies). 2-D bond masks and cached
     # decoding always take the xla path.
     attention_impl: str = "xla"
+    # grouped beam-decode QK scores storage dtype: the model dtype
+    # (bfloat16, default — f32 MXU accumulation, bf16 store, f32 softmax)
+    # or 'float32' for bit-strict score parity at ~1.4x the decode
+    # attention cost (see models/layers.py grouped decode branch).
+    decode_scores_dtype: str = "bfloat16"
     # residual-add + LayerNorm: 'xla' or 'fused' (Pallas kernel reading the
     # activations once, ops/fused_layernorm.py; identical numerics, same
     # param tree). Applies to the three post-LN sites per block when the

@@ -240,26 +240,32 @@ class MultiHeadAttention(nn.Module):
             Bex = x.shape[0] // G
             cache_len = self.cache_len or cfg.max_position_embeddings
             is_initialized = self.has_variable("cache", "cached_key")
-            # (Bex, H, D, T, G): head-major, D as sublanes, (t, g) merged as
-            # lanes — the attention einsums read it transpose-free
+            # (Bex, H, D, T*G): head-major, D as sublanes, (t, g) MERGED as
+            # the lane axis — the attention einsums read it transpose-free,
+            # and the per-step token write is a dynamic_update_slice at
+            # lane offset t*G, which XLA performs in place inside the
+            # decode while_loop. (A 5-D (..., T, G) layout with the dynamic
+            # index on the T dim measured 2.27 ms/step at retro scale — XLA
+            # copies the whole 157 MB cache per layer per step — vs 0.39
+            # for this merged layout.)
             cached_k = self.variable("cache", "cached_key", jnp.zeros,
-                                     (Bex, H, D, cache_len, G), self.dtype)
+                                     (Bex, H, D, cache_len * G), self.dtype)
             cached_v = self.variable("cache", "cached_value", jnp.zeros,
-                                     (Bex, H, D, cache_len, G), self.dtype)
+                                     (Bex, H, D, cache_len * G), self.dtype)
             cache_index = self.variable("cache", "cache_index",
                                         lambda: jnp.array(0, dtype=jnp.int32))
             if is_initialized:
                 assert x.shape[1] == 1, "grouped beam decode is 1 token/step"
                 idx = cache_index.value
                 zero = jnp.zeros((), dtype=idx.dtype)
-                # (B*G, 1, H, D) -> (Bex, H, D, 1, G): tiny transpose of the
+                # (B*G, 1, H, D) -> (Bex, H, D, G): tiny transpose of the
                 # NEW token only; the big cache is written contiguously
-                k_new = k.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)[:, :, :, None]
-                v_new = v.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)[:, :, :, None]
+                k_new = k.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)
+                v_new = v.reshape(Bex, G, H, D).transpose(0, 2, 3, 1)
                 k_all = jax.lax.dynamic_update_slice(
-                    cached_k.value, k_new, (zero, zero, zero, idx, zero))
+                    cached_k.value, k_new, (zero, zero, zero, idx * G))
                 v_all = jax.lax.dynamic_update_slice(
-                    cached_v.value, v_new, (zero, zero, zero, idx, zero))
+                    cached_v.value, v_new, (zero, zero, zero, idx * G))
                 cached_k.value = k_all
                 cached_v.value = v_all
                 cache_index.value = idx + 1
@@ -278,11 +284,19 @@ class MultiHeadAttention(nn.Module):
                 # was A/B'd here across two rounds and lost at every
                 # shipped beam count — 22.4 vs 10.4 ms/step at retro
                 # geometry even head-batched — so it was removed.)
-                k2 = k_all[:, :, :, :win].reshape(Bex, H, D, win * G)
-                v2 = v_all[:, :, :, :win].reshape(Bex, H, D, win * G)
+                k2 = k_all[:, :, :, :win * G]
+                v2 = v_all[:, :, :, :win * G]
+                # QK accumulates in f32 on the MXU but stores bf16 (same
+                # precision class as every other activation in a bf16
+                # model; the softmax and the final log-probs stay f32) —
+                # halving the scores-tensor HBM traffic is worth 3.2
+                # ms/step at retro scale. decode_scores_dtype='float32'
+                # restores full-precision scores for strict-parity runs.
+                s_dt = (jnp.float32 if cfg.decode_scores_dtype == "float32"
+                        else self.dtype)
                 scores = jnp.einsum("bghd,bhdk->bhgk", q2, k2,
-                                    preferred_element_type=jnp.float32)
-                scores = scores * sm_scale
+                                    preferred_element_type=s_dt)
+                scores = scores.astype(jnp.float32) * sm_scale
                 scores = scores + beam_bias[:, None].astype(jnp.float32)
                 probs = jax.nn.softmax(scores, axis=-1)
                 ctx = jnp.einsum("bhgk,bhdk->bghd",
