@@ -99,6 +99,8 @@ def build_parser() -> argparse.ArgumentParser:
                    default="fused")
     p.add_argument("--attention_impl", type=str, choices=["xla", "flash"],
                    default="flash")
+    p.add_argument("--decode_scores_dtype", type=str,
+                   choices=["bfloat16", "float32"], default="bfloat16")
     p.add_argument("--dropout_rng_impl", type=str,
                    choices=["threefry2x32", "rbg", "unsafe_rbg"],
                    default="unsafe_rbg")

@@ -97,6 +97,9 @@ class ExperimentConfig:
     # per LN site (+7% step throughput at the flagship geometry on v5e);
     # only engages when hidden_size % 128 == 0, else falls back to 'xla'
     layernorm_impl: str = "fused"
+    # beam-decode QK score storage: model dtype (default) or 'float32'
+    # for bit-strict score parity (see models/config.py)
+    decode_scores_dtype: str = "bfloat16"
     # PRNG for dropout masks: threefry (jax default) costs ~20 ms/step at the
     # flagship geometry on v5e; the hardware RngBitGenerator impls are
     # statistically sound for dropout and fold_in-compatible.

@@ -48,6 +48,7 @@ def build_model(cfg: ExperimentConfig, enc_tokenizer, dec_tokenizer):
         is_decoder=True, add_cross_attention=True,
         attention_impl=cfg.attention_impl,
         layernorm_impl=cfg.layernorm_impl,
+        decode_scores_dtype=cfg.decode_scores_dtype,
         pad_token_id=dec_tokenizer.pad_token_id,
         bos_token_id=dec_tokenizer.bos_token_id,
         eos_token_id=dec_tokenizer.eos_token_id,
