@@ -321,3 +321,28 @@ def test_flash_attention_interpret_mode_matches_xla():
         out_f = np.asarray(enc_f.apply(params, ids, attention_mask=mask))
     np.testing.assert_allclose(out_x[:, :100], out_f[:, :100],
                                rtol=5e-3, atol=5e-3)
+
+
+def test_decode_scores_dtype_bf16_matches_f32_selection():
+    """Canary for the bf16 QK-score default (models/layers.py grouped
+    decode): on a bf16 model, storing scores in bf16 vs float32 must pick
+    the same beams and near-identical scores at tiny scale — selection
+    runs on f32 log-probs either way, only the attention-score storage
+    dtype differs."""
+    from textreact_tpu.inference.predictor import Generator
+
+    batch = _batch()
+    inputs = {"input_ids": batch["input_ids"],
+              "attention_mask": batch["attention_mask"]}
+    outs = {}
+    for sd in ("bfloat16", "float32"):
+        model = EncoderDecoder(
+            encoder_config=TINY_ENC,
+            decoder_config=TINY_DEC.replace(decode_scores_dtype=sd),
+            dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(21), **batch)
+        outs[sd] = Generator(model, params, num_beams=3,
+                             max_length=12).generate(inputs)
+    np.testing.assert_array_equal(outs["bfloat16"][0], outs["float32"][0])
+    np.testing.assert_allclose(outs["bfloat16"][1], outs["float32"][1],
+                               rtol=0.02, atol=0.02)
