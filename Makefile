@@ -15,6 +15,8 @@ bench-train:
 native:
 	g++ -O2 -std=c++20 -shared -fPIC \
 	  -o textreact_tpu/chem/libcchem.so.1 textreact_tpu/chem/_cchem.cpp
+	g++ -O2 -std=c++20 -shared -fPIC \
+	  -o textreact_tpu/tokenizers/libctok.so.1 textreact_tpu/tokenizers/_ctok.cpp
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} +; \

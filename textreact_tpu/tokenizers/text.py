@@ -134,11 +134,17 @@ class WordPieceTokenizer(BaseTokenizer):
     sep_token = "[SEP]"
 
     def __init__(self, vocab_file: str, lower_case: bool = True,
-                 max_chars_per_word: int = 100):
+                 max_chars_per_word: int = 100, native: bool = True):
         self.vocab = Vocab.from_file(vocab_file, self.unk_token)
         self.basic = BasicTextTokenizer(lower_case=lower_case)
         self.max_chars_per_word = max_chars_per_word
         self._piece_cache: dict = {}  # basic token -> wordpiece list
+        self._native = None
+        if native:
+            from .native import NativeWordPiece
+            nw = NativeWordPiece(self.vocab.token_to_id, self.vocab.unk_id)
+            if nw._handle is not None:
+                self._native = nw
 
     def __len__(self) -> int:
         return len(self.vocab)
@@ -186,9 +192,15 @@ class WordPieceTokenizer(BaseTokenizer):
         return tokens
 
     def __call__(self, text: str) -> Encoding:
-        ids = ([self.cls_token_id]
-               + self.convert_tokens_to_ids(self.tokenize(text))
-               + [self.sep_token_id])
+        body = None
+        if self._native is not None:
+            # C++ twin (tokenizers/_ctok.cpp), bit-identical on ASCII text;
+            # returns None for non-ASCII, which takes the python path
+            body = self._native.encode(text, self.max_chars_per_word,
+                                       self.basic.lower_case)
+        if body is None:
+            body = self.convert_tokens_to_ids(self.tokenize(text))
+        ids = [self.cls_token_id] + body + [self.sep_token_id]
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
 
     def decode(self, ids: List[int], skip_special_tokens: bool = True) -> str:
