@@ -86,6 +86,13 @@ class NativeWordPiece:
         self._lib = lib
         self._buf = (ctypes.c_int32 * 8192)()
 
+    def __del__(self):
+        if getattr(self, "_handle", None) is not None:
+            try:
+                self._lib.ctok_encoder_free(self._handle)
+            except Exception:
+                pass
+
     def encode(self, text: str, max_chars_per_word: int = 100,
                lower: bool = True) -> Optional[List[int]]:
         if self._handle is None or not text.isascii():
