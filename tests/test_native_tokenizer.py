@@ -85,3 +85,33 @@ def test_native_fuzz_wordlike():
                      for _ in range(rng.randrange(1, 10))]
             text = " ".join(words)
             assert nat(text)["input_ids"] == py(text)["input_ids"], text
+
+
+def test_native_smiles_matches_python():
+    from textreact_tpu.tokenizers import SmilesTokenizer
+    nat = SmilesTokenizer(native=True)
+    py = SmilesTokenizer(native=False)
+    assert nat._native is not None
+    cases = [
+        "CCO", "c1ccccc1", "C(=O)[O-].[Na+]", "Br/C=C\\Cl",
+        "CC(C)Cl.BrBr>>CC(C)Br", "[13CH3][C@@H](N)C(=O)O",
+        "C%12CC%12", "C1CC1", "*$~@?:#=-+", "", "C[C", "%1C", "%",
+        "[unclosed", "[]", "N>S>>O", "zZ!illegal C", "Cl9%99c",
+    ]
+    for s in cases:
+        assert nat(s)["input_ids"] == py(s)["input_ids"], s
+    enc_n = nat("CCO", text_pair="c1ccccc1")
+    enc_p = py("CCO", text_pair="c1ccccc1")
+    assert enc_n["input_ids"] == enc_p["input_ids"]
+
+
+def test_native_smiles_fuzz():
+    import random
+    from textreact_tpu.tokenizers import SmilesTokenizer
+    nat = SmilesTokenizer(native=True)
+    py = SmilesTokenizer(native=False)
+    rng = random.Random(2)
+    alphabet = list("BCNOSPFIbcnosp()[].=#-+\\/:~@?>*$%0123456789rlHheKa ")
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        assert nat(s)["input_ids"] == py(s)["input_ids"], repr(s)

@@ -146,4 +146,84 @@ int32_t ctok_encode(int32_t handle, const char* text, int32_t text_len,
     return n_out;
 }
 
+// ---------------------------------------------------------------------------
+// SMILES scanner: hand-coded equivalent of the Schwaller regex
+// (tokenizers/smiles.py SMILES_REGEX_PATTERN) with re.findall semantics —
+// at each position the alternatives are tried IN PATTERN ORDER and a
+// non-matching character is skipped. Token ids come from the same vocab
+// handle (whole-token lookup, [UNK] fallback, no wordpiece), matching
+// SmilesTokenizer.tokenize + convert_tokens_to_ids.
+//
+// Returns the token count, -1 if out too small, -2 on non-ASCII, -3 on a
+// bad handle. atom_flags (optional, same length) gets 1 for tokens the
+// ATOM_REGEX (smiles.py:26) fully matches: bracket atoms, B/Br, C/Cl,
+// N O S P F I, b c n o s p.
+
+extern "C" int32_t ctok_smiles_encode(int32_t handle, const char* text,
+                                      int32_t text_len, int32_t* out,
+                                      int32_t max_out, int32_t* atom_flags) {
+    if (handle < 0 || handle >= static_cast<int32_t>(g_encoders.size()) ||
+        !g_encoders[handle])
+        return -3;
+    const Encoder& enc = *g_encoders[handle];
+    int32_t n_out = 0;
+    std::string tok;
+    int32_t i = 0;
+    auto emit = [&](int32_t len, bool atom) -> bool {
+        tok.assign(text + i, text + i + len);
+        auto it = enc.vocab.find(tok);
+        if (n_out >= max_out) return false;
+        if (atom_flags) atom_flags[n_out] = atom ? 1 : 0;
+        out[n_out++] = (it != enc.vocab.end()) ? it->second : enc.unk_id;
+        i += len;
+        return true;
+    };
+    while (i < text_len) {
+        unsigned char c = static_cast<unsigned char>(text[i]);
+        if (c >= 0x80) return -2;
+        int32_t matched = 0;
+        bool atom = false;
+        switch (c) {
+            case '[': {  // \[[^\]]+] — at least one non-']' then ']'
+                int32_t j = i + 1;
+                while (j < text_len && text[j] != ']') {
+                    if (static_cast<unsigned char>(text[j]) >= 0x80) return -2;
+                    ++j;
+                }
+                if (j < text_len && j > i + 1) { matched = j - i + 1; atom = true; }
+                break;
+            }
+            case 'B':  // Br?
+                matched = (i + 1 < text_len && text[i + 1] == 'r') ? 2 : 1;
+                atom = true;
+                break;
+            case 'C':  // Cl?
+                matched = (i + 1 < text_len && text[i + 1] == 'l') ? 2 : 1;
+                atom = true;
+                break;
+            case 'N': case 'O': case 'S': case 'P': case 'F': case 'I':
+            case 'b': case 'c': case 'n': case 'o': case 's': case 'p':
+                matched = 1; atom = true; break;
+            case '(': case ')': case '.': case '=': case '#': case '-':
+            case '+': case '\\': case '/': case ':': case '~': case '@':
+            case '?': case '*': case '$':
+                matched = 1; break;
+            case '>':  // >>? — greedy
+                matched = (i + 1 < text_len && text[i + 1] == '>') ? 2 : 1;
+                break;
+            case '%':  // %[0-9]{2}
+                if (i + 2 < text_len && text[i + 1] >= '0' && text[i + 1] <= '9'
+                    && text[i + 2] >= '0' && text[i + 2] <= '9')
+                    matched = 3;
+                break;
+            default:
+                if (c >= '0' && c <= '9') matched = 1;
+                break;
+        }
+        if (matched == 0) { ++i; continue; }  // findall skips non-matches
+        if (!emit(matched, atom)) return -1;
+    }
+    return n_out;
+}
+
 }  // extern "C"

@@ -56,6 +56,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.ctok_encode.argtypes = [
             ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        lib.ctok_smiles_encode.restype = ctypes.c_int32
+        lib.ctok_smiles_encode.argtypes = [
+            ctypes.c_int32, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32)]
         _lib = lib
         return _lib
 
@@ -103,6 +108,23 @@ class NativeWordPiece:
                                       max_chars_per_word, int(lower),
                                       self._buf, len(self._buf))
             if n == -1:  # grow the output buffer
+                self._buf = (ctypes.c_int32 * (len(self._buf) * 2))()
+                continue
+            if n < 0:
+                return None
+            return list(np.frombuffer(self._buf, dtype=np.int32, count=n))
+
+
+    def encode_smiles(self, smiles: str) -> Optional[List[int]]:
+        """Schwaller-regex SMILES scan + whole-token vocab lookup (the
+        SmilesTokenizer algorithm); None for non-ASCII / unavailable."""
+        if self._handle is None or not smiles.isascii():
+            return None
+        raw = smiles.encode("ascii")
+        while True:
+            n = self._lib.ctok_smiles_encode(self._handle, raw, len(raw),
+                                             self._buf, len(self._buf), None)
+            if n == -1:
                 self._buf = (ctypes.c_int32 * (len(self._buf) * 2))()
                 continue
             if n < 0:

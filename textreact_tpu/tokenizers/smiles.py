@@ -49,8 +49,14 @@ class SmilesTokenizer(BaseTokenizer):
     cls_token = "[CLS]"
     sep_token = "[SEP]"
 
-    def __init__(self, vocab_file: Optional[str] = None):
+    def __init__(self, vocab_file: Optional[str] = None, native: bool = True):
         self.vocab = Vocab.from_file(vocab_file or SMILES_VOCAB, self.unk_token)
+        self._native = None
+        if native:
+            from .native import NativeWordPiece
+            nw = NativeWordPiece(self.vocab.token_to_id, self.vocab.unk_id)
+            if nw._handle is not None:
+                self._native = nw
 
     def __len__(self) -> int:
         return len(self.vocab)
@@ -79,12 +85,18 @@ class SmilesTokenizer(BaseTokenizer):
         """[CLS] A [SEP] (+ B [SEP] for a pair, BERT-style — the reference's
         'smiles' encoder mode tokenizes any neighbor text with the same
         regex vocab, tokenizer.py:171-185)."""
-        ids = ([self.cls_token_id]
-               + self.convert_tokens_to_ids(self.tokenize(smiles))
-               + [self.sep_token_id])
+        ids = [self.cls_token_id] + self._body(smiles) + [self.sep_token_id]
         if text_pair:
-            ids += self.convert_tokens_to_ids(self.tokenize(text_pair)) + [self.sep_token_id]
+            ids += self._body(text_pair) + [self.sep_token_id]
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
+
+    def _body(self, smiles: str) -> List[int]:
+        if self._native is not None:
+            # C++ scanner (tokenizers/_ctok.cpp), bit-identical on ASCII
+            ids = self._native.encode_smiles(smiles)
+            if ids is not None:
+                return ids
+        return self.convert_tokens_to_ids(self.tokenize(smiles))
 
     def decode(self, ids: List[int], skip_special_tokens: bool = True) -> str:
         specials = {self.pad_token, self.cls_token, self.sep_token, self.mask_token}
