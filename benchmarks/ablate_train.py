@@ -15,9 +15,10 @@ from textreact_tpu.train.step import TrainState, make_loss_fn, make_train_step
 B, L, Ld = 32, 512, 16
 
 
-def make(attn="flash", mlm=True, dropout=True):
-    enc = SCIBERT_BASE.replace(attention_impl=attn)
-    dec = BERT_L6_DECODER.replace(vocab_size=315, attention_impl=attn)
+def make(attn="flash", mlm=True, dropout=True, ln="xla"):
+    enc = SCIBERT_BASE.replace(attention_impl=attn, layernorm_impl=ln)
+    dec = BERT_L6_DECODER.replace(vocab_size=315, attention_impl=attn,
+                                  layernorm_impl=ln)
     if not dropout:
         enc = enc.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
         dec = dec.replace(hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
@@ -104,6 +105,7 @@ if __name__ == "__main__":
     import sys
     sel = sys.argv[1] if len(sys.argv) > 1 else "all"
     for name, kw in [("flash+mlm+drop", dict()),
+                     ("flash+mlm+drop+fusedLN", dict(ln="fused")),
                      ("flash+mlm+NOdrop", dict(dropout=False)),
                      ("flash+NOmlm+drop", dict(mlm=False)),
                      ("xla+mlm+drop", dict(attn="xla"))]:
