@@ -191,3 +191,30 @@ def test_model_fused_dropout_trains():
     assert np.isfinite(outs[0]).all()
     np.testing.assert_array_equal(outs[0], outs[1])  # same seed -> same mask
     assert not np.array_equal(outs[0], outs[2])      # seed changes mask
+
+
+def test_odd_row_count_falls_back_to_xla_path():
+    """R not divisible by 8 cannot satisfy Mosaic's row-block rule; the
+    wrapper must route to the XLA path (interpret=False + CPU would crash
+    in pallas_call if it did not fall back)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((7, 128)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((7, 128)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(128), jnp.float32)
+    got = fused_residual_layernorm(x, y, scale, bias, interpret=False)
+    ref = residual_layernorm_reference(x, y, scale, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # dropout on the fallback: deterministic per key, correct keep scaling
+    k = jax.random.PRNGKey(5)
+    a = fused_residual_layernorm(x, y, scale, bias, interpret=False,
+                                 dropout_p=0.5, dropout_rng=k)
+    b = fused_residual_layernorm(x, y, scale, bias, interpret=False,
+                                 dropout_p=0.5, dropout_rng=k)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    keep = jax.random.bernoulli(k, 0.5, y.shape)
+    y_dropped = jnp.where(keep, y / 0.5, 0.0)
+    ref_drop = residual_layernorm_reference(x, y_dropped, scale, bias)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(ref_drop),
+                               rtol=1e-5, atol=1e-5)

@@ -226,6 +226,20 @@ def fused_residual_layernorm(x: jax.Array, y: jax.Array, scale: jax.Array,
         interpret = jax.default_backend() == "cpu"
     shape = x.shape
     H = shape[-1]
+    R = 1
+    for s in shape[:-1]:
+        R *= s
+    if not interpret and _pick_block_rows(R) < 8:
+        # Mosaic requires the row-block dim divisible by 8 (or equal to R);
+        # odd row counts (e.g. a ragged final eval batch at decode time)
+        # take the XLA path with the same semantics.
+        z = x.astype(jnp.float32)
+        yf = y.astype(jnp.float32)
+        if dropout_p > 0.0:
+            keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_p, y.shape)
+            yf = jnp.where(keep, yf / (1.0 - dropout_p), 0.0)
+        return residual_layernorm_reference(
+            z, yf, scale, bias, eps).astype(x.dtype)
     if dropout_p > 0.0:
         assert dropout_rng is not None
         seed = jax.random.randint(dropout_rng, (1,), 0,
