@@ -18,12 +18,38 @@ METRIC_MODE = {"val_loss": "min", "val_acc": "max"}
 
 
 class CheckpointManager:
-    def __init__(self, save_path: str, val_metric: str = "val_acc"):
+    def __init__(self, save_path: str, val_metric: str = "val_acc",
+                 async_save: bool = True):
         self.save_path = os.path.abspath(save_path)
         self.val_metric = val_metric
         self.mode = METRIC_MODE[val_metric]
         os.makedirs(self.save_path, exist_ok=True)
-        self._ckptr = ocp.StandardCheckpointer()
+        # AsyncCheckpointer copies device->host synchronously and writes to
+        # disk in the background — safe with the donated train-step state
+        # (the device buffers are reused by the next step) while hiding
+        # multi-second writes behind training. Completed saves are
+        # PUBLISHED (tmp dir renamed + meta written) at the next flush
+        # point, so a crash mid-write never leaves a visible half
+        # checkpoint.
+        self.async_save = async_save
+        if async_save:
+            self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
+        self._pending: list = []  # (tmp_dir, final_dir, meta_path, meta)
+
+    def _flush(self) -> None:
+        """Wait for in-flight writes and publish them atomically."""
+        if not self._pending:
+            return
+        self._ckptr.wait_until_finished()
+        for tmp, final, meta_path, meta in self._pending:
+            if os.path.isdir(final):
+                shutil.rmtree(final)
+            os.rename(tmp, final)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self._pending.clear()
 
     # --- paths ---
     def _dir(self, name: str) -> str:
@@ -33,30 +59,37 @@ class CheckpointManager:
         return os.path.join(self.save_path, f"{name}.meta.json")
 
     def exists(self, name: str) -> bool:
+        self._flush()
         return os.path.isdir(self._dir(name))
 
     def clear(self) -> None:
         """--overwrite: delete stale checkpoints (reference utils.py:47-52)."""
+        self._flush()
         for entry in os.listdir(self.save_path):
-            if entry.endswith(".ckpt") or entry.endswith(".meta.json"):
+            if (entry.endswith(".ckpt") or entry.endswith(".meta.json")
+                    or entry.endswith(".ckpt.tmp")):
                 full = os.path.join(self.save_path, entry)
                 shutil.rmtree(full) if os.path.isdir(full) else os.remove(full)
 
     # --- save/load ---
     def save(self, name: str, state: Any, meta: Optional[dict] = None) -> None:
-        path = self._dir(name)
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-        self._ckptr.save(path, state)
-        self._ckptr.wait_until_finished()
-        with open(self._meta_path(name), "w") as f:
-            json.dump(meta or {}, f)
+        self._flush()  # at most one write in flight
+        final = self._dir(name)
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        self._ckptr.save(tmp, state)
+        self._pending.append((tmp, final, self._meta_path(name), meta or {}))
+        if not self.async_save:
+            self._flush()
 
     def restore(self, name: str, target: Any) -> Tuple[Any, dict]:
         """Restore directly into `target`'s shardings by handing orbax an
         abstract target (ShapeDtypeStruct + sharding per leaf) — restoring
         concrete arrays and re-device_put-ing afterwards would double peak
-        host memory for large states."""
+        host memory for large states. Flushes pending writes first (a
+        just-saved 'best' must be restorable)."""
+        self._flush()
         import jax
 
         def abstract(t):
@@ -72,6 +105,10 @@ class CheckpointManager:
             with open(self._meta_path(name)) as f:
                 meta = json.load(f)
         return state, meta
+
+    def finalize(self) -> None:
+        """Publish any in-flight save (call at the end of training)."""
+        self._flush()
 
     # --- best/last policy ---
     def is_improvement(self, score: float, best: Optional[float]) -> bool:

@@ -297,6 +297,7 @@ class Trainer:
                         state, scores[cfg.val_metric], best_score, epoch)
                 else:
                     self.ckpt.save("last", state, {"epoch": epoch})
+        self.ckpt.finalize()  # publish the overlapped final save
         self._state = state
 
     # ------------------------------------------------------------------
