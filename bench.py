@@ -30,14 +30,57 @@ import time
 import numpy as np
 
 
-def main():
+def _init_backend():
+    """Initialize the jax backend, tolerating a dead TPU relay.
+
+    VERDICT r3 item 2: when the axon relay's TPU backend is unavailable,
+    bench.py must still emit its one-line JSON contract (a degraded record,
+    rc=0) instead of dying with a traceback (the BENCH_r03.json failure
+    mode). Bounded retry/backoff because relay outages are often transient.
+    """
     import jax
+
+    tries = int(os.environ.get("BENCH_BACKEND_TRIES", 3))
+    delay = float(os.environ.get("BENCH_BACKEND_BACKOFF", 20.0))
+    last = None
+    for attempt in range(tries):
+        try:
+            backend = jax.default_backend()
+            jax.devices()
+            return jax, backend, None
+        except Exception as e:  # relay down / backend init failure
+            last = e
+            print(f"backend init attempt {attempt + 1}/{tries} failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr)
+            if attempt + 1 < tries:
+                time.sleep(delay)
+    # Fall back to CPU so the bench can still prove correctness in
+    # interpret mode; mark the record degraded either way.
+    try:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import importlib
+        import jax as _jax
+        backend = _jax.default_backend()
+        return _jax, backend, f"tpu_unavailable: {type(last).__name__}"
+    except Exception:
+        return None, None, f"tpu_unavailable: {type(last).__name__}"
+
+
+def main():
+    jax, backend, degraded = _init_backend()
+    if jax is None:
+        print(json.dumps({
+            "metric": "retrieval_qps_exact_top20", "value": None,
+            "unit": "queries/s", "vs_baseline": None,
+            "degraded": degraded,
+        }))
+        return 0
     import jax.numpy as jnp
 
     from textreact_tpu.ops.topk import numpy_reference_topk, pad_matrix
     from textreact_tpu.retrieval import FlatIndex
 
-    on_tpu = jax.default_backend() not in ("cpu",)
+    on_tpu = backend not in ("cpu",)
     N, D, K = (200_000, 1024, 20) if on_tpu else (20_000, 256, 20)
     N = int(os.environ.get("BENCH_N", N))
     # large query batch amortizes the host<->device transfer per call
@@ -142,8 +185,45 @@ def main():
                  f"{'tpu' if on_tpu else 'cpu-interpret'}{dev_note})"),
         "vs_baseline": round(qps / cpu_qps, 2),
     }
+    if degraded:
+        out["degraded"] = degraded
     print(json.dumps(out))
+    return 0
+
+
+def _watchdog(timeout_s):
+    """Emit the degraded record and exit 0 if the run wedges.
+
+    The round-3 relay failure mode was an indefinite hang (a 128x128 matmul
+    blocked 6+ hours while device enumeration kept succeeding); SIGALRM is
+    the only reliable way out because block_until_ready never returns.
+    """
+    import signal
+
+    def on_alarm(signum, frame):
+        print(json.dumps({
+            "metric": "retrieval_qps_exact_top20", "value": None,
+            "unit": "queries/s", "vs_baseline": None,
+            "degraded": f"hang_watchdog_{timeout_s}s",
+        }), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(timeout_s)
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    _watchdog(int(os.environ.get("BENCH_TIMEOUT", 1500)))
+    try:
+        sys.exit(main())
+    except Exception as e:
+        # The one-line contract must survive anything (e.g. the relay dying
+        # mid-run AFTER device enumeration succeeded — the r3 outage mode).
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "retrieval_qps_exact_top20", "value": None,
+            "unit": "queries/s", "vs_baseline": None,
+            "degraded": f"runtime_failure: {type(e).__name__}",
+        }))
+        sys.exit(0)
