@@ -189,3 +189,93 @@ def test_zero1_checkpoint_roundtrip(tmp_path):
                         jax.tree.leaves(restored.opt_state)):
             if hasattr(a, "sharding"):
                 assert a.sharding == b.sharding, (a.sharding, b.sharding)
+
+
+def _elastic_state(mesh, module, cfg, params, zero1=False):
+    """Canonical mesh-placed TrainState exactly as the trainer builds it."""
+    from textreact_tpu.parallel.sharding import zero1_opt_state
+    with mesh:
+        tx = make_optimizer(cfg, 100)
+        state = ensure_mesh_placement(
+            mesh, TrainState.create(shard_params(mesh, params), tx))
+        if zero1:
+            state = state.replace(
+                opt_state=zero1_opt_state(mesh, state.opt_state))
+    return state, tx
+
+
+@pytest.mark.parametrize("save_shape,load_shape,zero1", [
+    ((8, 1), (4, 1), False),   # dp shrink (the classic elasticity path)
+    ((4, 2), (2, 2), True),    # dp shrink under ZeRO-1 sharded moments
+    ((4, 2), (8, 1), True),    # tp collapse + dp grow
+])
+def test_checkpoint_elastic_reshard(tmp_path, save_shape, load_shape, zero1):
+    """Save on one mesh shape, restore on another (reference gets this free
+    from Lightning's rank-agnostic ckpts, main.py:389-397): params must be
+    bit-identical, land in the TARGET mesh's shardings, and the next train
+    step must produce the same loss as continuing on the original mesh."""
+    from textreact_tpu.train.checkpoint import CheckpointManager
+
+    module = EncoderDecoder(encoder_config=ENC, decoder_config=DEC,
+                            dtype=jnp.float32)
+    cfg = ExperimentConfig(task="condition", compute_dtype="float32")
+    rng = np.random.default_rng(0)
+    B = 8
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (B, 32)), jnp.int32),
+        "attention_mask": jnp.ones((B, 32), jnp.int32),
+        "decoder_input_ids": jnp.asarray(rng.integers(1, 64, (B, 8)), jnp.int32),
+        "decoder_attention_mask": jnp.ones((B, 8), jnp.int32),
+        "example_mask": jnp.ones((B,), jnp.int32),
+        "indices": jnp.arange(B, dtype=jnp.int32),
+    }
+    params = module.init(jax.random.PRNGKey(0),
+                         input_ids=batch["input_ids"],
+                         attention_mask=batch["attention_mask"],
+                         decoder_input_ids=batch["decoder_input_ids"],
+                         decoder_attention_mask=batch["decoder_attention_mask"])
+    # host copies: device_put may alias these buffers into state_a, and the
+    # donating train step would delete them before the mesh_b placement
+    params = jax.tree.map(np.asarray, params)
+
+    # --- train one step on the save mesh, checkpoint the state ---
+    mesh_a = make_mesh(*save_shape)
+    state_a, tx_a = _elastic_state(mesh_a, module, cfg, params, zero1)
+    step_a = make_train_step(module, cfg, tx_a, dec_pad_id=0)
+    with mesh_a:
+        dbatch_a = {k: jax.device_put(v, batch_sharding(mesh_a))
+                    for k, v in batch.items()}
+        state_a, _ = step_a(state_a, dbatch_a, jax.random.PRNGKey(1))
+        mgr = CheckpointManager(str(tmp_path), "val_acc")
+        mgr.save("last", state_a, {"epoch": 0})
+        mgr.finalize()
+        saved_params = [np.asarray(x) for x in jax.tree.leaves(state_a.params)]
+        # reference next-step loss: continue on the save mesh (donates state_a)
+        _, m_ref = step_a(state_a, dbatch_a, jax.random.PRNGKey(2))
+        loss_ref = float(m_ref["train_loss"])
+
+    # --- restore into the load mesh's canonical shardings ---
+    mesh_b = make_mesh(*load_shape)
+    target, tx_b = _elastic_state(mesh_b, module, cfg, params, zero1)
+    restored, meta = mgr.restore("last", target)
+    assert meta["epoch"] == 0
+    with mesh_b:
+        restored = ensure_mesh_placement(mesh_b, restored)
+
+        # params bit-identical across the reshard
+        for a, b in zip(saved_params, jax.tree.leaves(restored.params)):
+            np.testing.assert_array_equal(a, np.asarray(b))
+        # every leaf landed in the TARGET's shardings (mesh_b, not mesh_a)
+        for t, r in zip(jax.tree.leaves(target), jax.tree.leaves(restored)):
+            if hasattr(t, "sharding"):
+                assert r.sharding == t.sharding, (r.sharding, t.sharding)
+                assert r.sharding.mesh.shape == dict(
+                    zip(("dp", "tp"), load_shape))
+
+        # one more step on the restored state reproduces the reference loss
+        step_b = make_train_step(module, cfg, tx_b, dec_pad_id=0)
+        dbatch_b = {k: jax.device_put(v, batch_sharding(mesh_b))
+                    for k, v in batch.items()}
+        _, m_b = step_b(restored, dbatch_b, jax.random.PRNGKey(2))
+        np.testing.assert_allclose(float(m_b["train_loss"]), loss_ref,
+                                   rtol=1e-4)
