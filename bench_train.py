@@ -22,6 +22,8 @@ def main():
                     choices=["xla", "fused"],
                     help="A/B the fused residual+dropout+LN kernel")
     ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--mlm_impl", default="fused", choices=["fused", "xla"],
+                    help="A/B the fused MLM linear+CE fold")
     args = ap.parse_args()
     from textreact_tpu.config import ExperimentConfig
     from textreact_tpu.models import BERT_L6_DECODER, SCIBERT_BASE, EncoderDecoder
@@ -37,7 +39,7 @@ def main():
             layernorm_impl=args.layernorm_impl),
         dtype=jnp.bfloat16, mlm_layer="mlp")
     cfg = ExperimentConfig(task="condition", mlm=True, mlm_lambda=0.1,
-                           compute_dtype="bfloat16")
+                           compute_dtype="bfloat16", mlm_impl=args.mlm_impl)
     rng = np.random.default_rng(0)
     batch = {
         "input_ids": jnp.asarray(rng.integers(1, 31000, (B, L)), jnp.int32),
@@ -72,7 +74,7 @@ def main():
     print(json.dumps({
         "metric": "train_examples_per_sec_rcr_flagship",
         "value": round(B / dt, 1),
-        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16+flash, ln={args.layernorm_impl}, 1 chip)",
+        "unit": f"examples/s (B={B}, L={L}, params={n_params/1e6:.1f}M, bf16+flash, ln={args.layernorm_impl}, mlm={args.mlm_impl}, 1 chip)",
         "vs_baseline": None,
     }))
 

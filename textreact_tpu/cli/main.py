@@ -62,6 +62,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mlm", action="store_true")
     p.add_argument("--mlm_ratio", type=float, default=0.15)
     p.add_argument("--mlm_layer", type=str, default="linear")
+    p.add_argument("--mlm_impl", type=str, choices=["fused", "xla"],
+                   default="fused")
     p.add_argument("--mlm_lambda", type=float, default=1.0)
     # Training
     p.add_argument("--epochs", type=int, default=8)

@@ -60,6 +60,7 @@ class ExperimentConfig:
     mlm_ratio: float = 0.15
     mlm_layer: str = "linear"           # 'linear' | 'mlp'
     mlm_lambda: float = 1.0
+    mlm_impl: str = "fused"             # 'fused' (linear+CE fold) | 'xla'
 
     # Training (reference main.py:74-88)
     epochs: int = 8
@@ -123,6 +124,7 @@ class ExperimentConfig:
         assert self.scheduler in ("cosine", "constant"), self.scheduler
         assert self.val_metric in ("val_acc", "val_loss"), self.val_metric
         assert self.encoder_tokenizer in ("smiles", "text", "smiles_text")
+        assert self.mlm_impl in ("fused", "xla"), self.mlm_impl
         if self.template_based:
             assert self.template_path is not None
         return self

@@ -49,6 +49,7 @@ class EncoderDecoder(nn.Module):
                  decoder_attention_mask: Optional[Array] = None,
                  position_ids: Optional[Array] = None,
                  mlm_prefix_len: Optional[int] = None,
+                 mlm_labels: Optional[Array] = None,
                  deterministic: bool = True):
         enc = self.encoder(input_ids, attention_mask=attention_mask,
                            position_ids=position_ids,
@@ -61,7 +62,11 @@ class EncoderDecoder(nn.Module):
         if self.mlm_layer and mlm_prefix_len is not None:
             # masked tokens sit in a contiguous prefix (data/mlm.py), so the
             # MLM head runs on a static slice (reference main.py:158-162)
-            out["mlm_logits"] = self.mlm_head(enc[:, :mlm_prefix_len])
+            if mlm_labels is not None:   # fused linear+CE: no (B,P,V) logits
+                out["mlm_loss_sum"], out["mlm_valid"] = self.mlm_head(
+                    enc[:, :mlm_prefix_len], labels=mlm_labels)
+            else:
+                out["mlm_logits"] = self.mlm_head(enc[:, :mlm_prefix_len])
         return out
 
     def encode(self, input_ids: Array, attention_mask: Array,
@@ -161,6 +166,7 @@ class TemplateBasedModel(nn.Module):
                  atom_indices: Array, bond_pairs: Array,
                  position_ids: Optional[Array] = None,
                  mlm_prefix_len: Optional[int] = None,
+                 mlm_labels: Optional[Array] = None,
                  deterministic: bool = True):
         enc = self.encoder(input_ids, attention_mask=attention_mask,
                            position_ids=position_ids,
@@ -172,5 +178,9 @@ class TemplateBasedModel(nn.Module):
         out = {"logits": (atom_logits, bond_logits),
                "encoder_last_hidden_state": enc}
         if self.mlm_layer and mlm_prefix_len is not None:
-            out["mlm_logits"] = self.mlm_head(enc[:, :mlm_prefix_len])
+            if mlm_labels is not None:
+                out["mlm_loss_sum"], out["mlm_valid"] = self.mlm_head(
+                    enc[:, :mlm_prefix_len], labels=mlm_labels)
+            else:
+                out["mlm_logits"] = self.mlm_head(enc[:, :mlm_prefix_len])
         return out

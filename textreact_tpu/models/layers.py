@@ -452,19 +452,41 @@ class TransformerBlock(nn.Module):
         return x
 
 
+class _VocabProj(nn.Module):
+    """Raw kernel/bias with nn.Dense's exact param names/shapes/dtypes, so
+    the fused-CE path shares the 'decoder' param subtree with the logits
+    path (and with imported HF checkpoints)."""
+    features: int
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param("kernel", self.kernel_init,
+                            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return kernel, bias
+
+
 class MLMHead(nn.Module):
     """BERT prediction head: dense+gelu+LN then vocab projection.
 
     Role of reference model.py:40-47 (get_mlm_head, 'mlp' variant) and the
     decoder LM logits. With `embedding` given, the vocab projection is tied
-    to the word-embedding matrix.
+    to the word-embedding matrix. With `labels` given, returns
+    (sum_nll, n_valid) via the fused linear+CE (ops/fused_ce.py) instead of
+    materializing the (B, P, V) f32 logits.
     """
     config: TransformerConfig
     dtype: Any = jnp.bfloat16
     mlp: bool = True
 
     @nn.compact
-    def __call__(self, x: Array, embedding: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, embedding: Optional[Array] = None,
+                 labels: Optional[Array] = None):
+        from ..data.collate import IGNORE_INDEX
+        from ..ops.fused_ce import fused_linear_ce
+
         cfg = self.config
         if self.mlp:
             x = nn.Dense(cfg.hidden_size, kernel_init=dense_init(cfg),
@@ -472,11 +494,20 @@ class MLMHead(nn.Module):
             x = nn.gelu(x)
             x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                              name="transform_norm")(x).astype(self.dtype)
+        d = x.shape[-1]
         if embedding is not None:
-            logits = jnp.einsum("bld,vd->blv", x, embedding.astype(self.dtype),
-                                preferred_element_type=jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (cfg.vocab_size,),
                               jnp.float32)
+            if labels is not None:
+                return fused_linear_ce(x.reshape(-1, d), embedding, bias,
+                                       labels.reshape(-1), IGNORE_INDEX, 0)
+            logits = jnp.einsum("bld,vd->blv", x, embedding.astype(self.dtype),
+                                preferred_element_type=jnp.float32)
             return logits + bias
+        if labels is not None:
+            kernel, bias = _VocabProj(cfg.vocab_size, dense_init(cfg),
+                                      name="decoder")(d)
+            return fused_linear_ce(x.reshape(-1, d), kernel, bias,
+                                   labels.reshape(-1), IGNORE_INDEX, 1)
         return nn.Dense(cfg.vocab_size, kernel_init=dense_init(cfg),
                         dtype=jnp.float32, name="decoder")(x)

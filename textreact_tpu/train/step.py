@@ -35,7 +35,8 @@ class TrainState(struct.PyTreeNode):
 
 
 def _model_inputs(batch: Dict[str, Array], template_based: bool,
-                  mlm_prefix_len: Optional[int]) -> Dict[str, Any]:
+                  mlm_prefix_len: Optional[int],
+                  mlm_fused: bool = False) -> Dict[str, Any]:
     kw: Dict[str, Any] = dict(
         input_ids=batch["input_ids"],
         attention_mask=batch["attention_mask"],
@@ -50,6 +51,8 @@ def _model_inputs(batch: Dict[str, Array], template_based: bool,
         kw["decoder_attention_mask"] = batch.get("decoder_attention_mask")
     if mlm_prefix_len is not None:
         kw["mlm_prefix_len"] = mlm_prefix_len
+        if mlm_fused:   # fold projection+CE into the forward (ops/fused_ce)
+            kw["mlm_labels"] = batch["mlm_labels"]
     return kw
 
 
@@ -57,9 +60,13 @@ def make_loss_fn(module, cfg, dec_pad_id: int) -> Callable:
     """Builds loss_fn(params, batch, dropout_rng) -> (loss, metrics)."""
     template_based = cfg.template_based
 
+    mlm_fused = getattr(cfg, "mlm_impl", "fused") == "fused"
+
     def loss_fn(params, batch, dropout_rng):
         mlm_prefix = batch["mlm_labels"].shape[1] if cfg.mlm and "mlm_labels" in batch else None
-        out = module.apply(params, **_model_inputs(batch, template_based, mlm_prefix),
+        out = module.apply(params,
+                           **_model_inputs(batch, template_based, mlm_prefix,
+                                           mlm_fused),
                            deterministic=False, rngs={"dropout": dropout_rng})
         if template_based:
             atom_logits, bond_logits = out["logits"]
@@ -71,7 +78,10 @@ def make_loss_fn(module, cfg, dec_pad_id: int) -> Callable:
                                        dec_pad_id, cfg.label_smoothing)
         metrics = {"train_loss": loss}
         if mlm_prefix is not None:
-            mloss = losses.mlm_loss(out["mlm_logits"], batch["mlm_labels"])
+            if "mlm_loss_sum" in out:
+                mloss = out["mlm_loss_sum"] / jnp.maximum(out["mlm_valid"], 1)
+            else:
+                mloss = losses.mlm_loss(out["mlm_logits"], batch["mlm_labels"])
             loss = loss + cfg.mlm_lambda * mloss
             metrics["mlm_loss"] = mloss
             metrics["total_loss"] = loss
