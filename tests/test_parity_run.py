@@ -10,7 +10,7 @@ import sys
 
 import pytest
 
-from fixtures import make_condition_data
+from fixtures import make_condition_data, make_retro_data
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))
@@ -60,4 +60,134 @@ def test_parity_run_rcr_smoke(tmp_path):
     assert isinstance(accs, list) and len(accs) == 2
     for acc in accs:
         assert set(int(k) for k in acc) == {1, 3, 5, 10, 15}
+        assert all(0.0 <= v <= 1.0 for v in acc.values())
+
+
+RETRO_KS = {1, 2, 3, 5, 10, 20}
+
+
+@pytest.mark.slow
+def test_parity_run_retrosyn_tf_smoke(tmp_path):
+    """Template-free retro recipe (reference train_RetroSyn_tf.sh) through
+    the same one-command driver: retrieval leg + seq2seq train + dual test."""
+    import parity_run
+
+    root = make_retro_data(str(tmp_path / "data"))
+    enc = dict(TINY_ENC, vocab_size=700)   # joint smiles(+590)+text vocab
+    dec = dict(TINY_DEC, vocab_size=600)   # assets/smiles_vocab.txt (590)
+    for name, cfg in (("enc.json", enc), ("dec.json", dec)):
+        with open(os.path.join(root, name), "w") as f:
+            json.dump(cfg, f)
+    save = str(tmp_path / "out")
+    override = " ".join([
+        "--encoder", os.path.join(root, "enc.json"),
+        "--decoder", os.path.join(root, "dec.json"),
+        "--encoder_tokenizer", "smiles_text",
+        "--text_vocab_file", os.path.join(root, "text_vocab.txt"),
+        "--max_length", "64", "--max_dec_length", "16",
+        "--batch_size", "8", "--test_batch_size", "8",
+        "--epochs", "1", "--num_beams", "3", "--num_neighbors", "2",
+        "--compute_dtype", "float32", "--dp_size", "2",
+        "--log_every", "1", "--debug",
+    ])
+    rc = parity_run.main([
+        "--recipe", "RetroSyn_tf", "--data_path", root,
+        "--valid_file", "valid.csv",
+        "--corpus_file", os.path.join(root, "corpus.csv"),
+        "--save_path", save, "--override", override,
+    ])
+    assert rc == 0
+    for split in ("train", "val", "test"):
+        assert os.path.exists(os.path.join(save, "nn", f"{split}.json"))
+    with open(os.path.join(save, "parity_results.json")) as f:
+        results = json.load(f)
+    assert results["recipe"] == "RetroSyn_tf"
+    accs = results["accuracy"]
+    assert isinstance(accs, list) and len(accs) == 2
+    for acc in accs:
+        assert set(int(k) for k in acc) == RETRO_KS
+        assert all(0.0 <= v <= 1.0 for v in acc.values())
+
+
+@pytest.mark.slow
+def test_parity_run_retrosyn_tb_smoke(tmp_path):
+    """Template-based retro recipe (reference train_RetroSyn_tb.sh): the
+    driver must itself extract/label templates (native engine) from the
+    mapped task CSVs, then train the atom/bond heads and score via the
+    template decoder."""
+    import pandas as pd
+
+    import parity_run
+    from textreact_tpu.chem import parse_smiles
+    from textreact_tpu.templates.native_extractor import demapped_canonical
+    from textreact_tpu.templates.processor import canonical_product
+
+    # four mapped reaction families (same set the full-cycle test uses)
+    rxns = [
+        "[CH3:1][C:2](=[O:3])[OH:4].[CH3:5][OH:6]>>"
+        "[CH3:1][C:2](=[O:3])[O:6][CH3:5]",
+        "[CH3:1][C:2](=[O:3])[OH:4].[NH2:5][CH3:6]>>"
+        "[CH3:1][C:2](=[O:3])[NH:5][CH3:6]",
+        "[Br:9][CH2:1][CH3:2].[NH2:3][CH3:4]>>[CH2:1]([CH3:2])[NH:3][CH3:4]",
+        "[CH3:1][CH:2]([OH:5])[CH3:3]>>[CH3:1][CH:2]=[CH2:3]",
+    ]
+    root = str(tmp_path / "data")
+    os.makedirs(root, exist_ok=True)
+    all_ids = []
+    for split, reps in (("train", 6), ("val", 1), ("test", 1)):
+        rows = []
+        for i, rxn in enumerate(rxns * reps):
+            rid = f"{split}{i}"
+            all_ids.append(rid)
+            reactants = rxn.split(">")[0]
+            rows.append({
+                "id": rid, "rxn_smiles": rxn,
+                "product_smiles": canonical_product(
+                    rxn.split(">")[-1], engine="native")[0],
+                "reactant_smiles": demapped_canonical(parse_smiles(reactants)),
+            })
+        pd.DataFrame(rows).to_csv(os.path.join(root, f"{split}.csv"),
+                                  index=False)
+    pd.DataFrame([{"id": rid, "heading_text": "",
+                   "paragraph_text": f"the product was prepared from "
+                                     f"compound {rid} by heating."}
+                  for rid in all_ids]).to_csv(
+        os.path.join(root, "corpus.csv"), index=False)
+    from fixtures import write_text_vocab
+    write_text_vocab(os.path.join(root, "text_vocab.txt"))
+
+    enc = dict(TINY_ENC, vocab_size=700)
+    with open(os.path.join(root, "enc.json"), "w") as f:
+        json.dump(enc, f)
+    save = str(tmp_path / "out")
+    override = " ".join([
+        "--encoder", os.path.join(root, "enc.json"),
+        "--encoder_tokenizer", "smiles_text",
+        "--vocab_file", "textreact_tpu/assets/smiles_vocab.txt",
+        "--text_vocab_file", os.path.join(root, "text_vocab.txt"),
+        "--max_length", "64",
+        "--batch_size", "8", "--test_batch_size", "8",
+        "--epochs", "1", "--num_neighbors", "2",
+        "--compute_dtype", "float32", "--dp_size", "2",
+        "--log_every", "1", "--debug",
+    ])
+    rc = parity_run.main([
+        "--recipe", "RetroSyn_tb", "--data_path", root,
+        "--corpus_file", os.path.join(root, "corpus.csv"),
+        "--save_path", save, "--override", override,
+    ])
+    assert rc == 0
+    # the driver built BOTH auxiliary legs itself
+    for split in ("train", "val", "test"):
+        assert os.path.exists(os.path.join(save, "nn", f"{split}.json"))
+    for art in ("atom_templates.csv", "bond_templates.csv",
+                "template_infos.csv", "preprocessed_train.csv"):
+        assert os.path.exists(os.path.join(save, "templates", art))
+    with open(os.path.join(save, "parity_results.json")) as f:
+        results = json.load(f)
+    assert results["recipe"] == "RetroSyn_tb"
+    accs = results["accuracy"]
+    assert isinstance(accs, list) and len(accs) == 2
+    for acc in accs:
+        assert set(int(k) for k in acc) == RETRO_KS
         assert all(0.0 <= v <= 1.0 for v in acc.values())

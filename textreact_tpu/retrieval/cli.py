@@ -68,7 +68,10 @@ def compare_condition(row1, row2) -> bool:
 
 
 def write_neighbors(path: str, query_ids, rank: np.ndarray, train_ids) -> None:
-    result = [{"id": qid, "nn": [train_ids[n] for n in nn]}
+    # when k exceeds the candidate count the engine pads ranks with the BIG
+    # sentinel (faiss pads with -1, retrieve_faiss.py:65-71) — drop them
+    n_train = len(train_ids)
+    result = [{"id": qid, "nn": [train_ids[n] for n in nn if 0 <= n < n_train]}
               for qid, nn in zip(query_ids, rank.tolist())]
     with open(path, "w") as f:
         json.dump(result, f)
