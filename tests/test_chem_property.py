@@ -137,3 +137,83 @@ def test_explicit_h_fold_matches_rdkit_parse_semantics():
     assert c("[2H]O[2H]") != c("O")
     assert c("[H][H]") == "[H][H]"
     assert "H" in c("[H+].[Cl-]")
+
+
+# ---------------------------------------------------------------------------
+# SMARTS matcher vs brute-force subgraph-isomorphism oracle (VERDICT r3
+# item 6). The oracle enumerates EVERY injective query->mol atom mapping
+# with itertools.permutations, reusing the matcher's own atom/bond
+# predicates — so any disagreement isolates a bug in the backtracking
+# search itself (anchor ordering, used-set handling, fragment interleaving),
+# the part rdchiral delegates to RDKit's VF2 (reference
+# template_extractor.py:517-626 relies on GetSubstructMatches).
+# ---------------------------------------------------------------------------
+
+SMARTS_ATOMS = ["C", "N", "O", "c", "[#6]", "[C,N]", "[!O]", "[R]", "[!R]",
+                "[D1]", "[D2]", "*", "[C;R]", "[O,N;D1]", "[#7,#8]"]
+SMARTS_BONDS = ["", "-", "=", "~", "#"]
+
+
+def random_smarts(rng: random.Random) -> str:
+    """Small random pattern: chain of 2-4 atoms, optional branch, optional
+    3-ring closure, optional second fragment ('.')."""
+    n = rng.randrange(2, 5)
+    atoms = [rng.choice(SMARTS_ATOMS) for _ in range(n)]
+    bonds = [rng.choice(SMARTS_BONDS) for _ in range(n - 1)]
+    if n >= 3 and rng.random() < 0.3:  # branch off atom 0
+        s = atoms[0] + "(" + bonds[0] + atoms[1] + ")"
+        rest = "".join(b + a for b, a in zip(bonds[1:], atoms[2:]))
+        pat = s + rest
+    elif n >= 3 and rng.random() < 0.3:  # close a ring over the whole chain
+        pat = atoms[0] + "1" + "".join(
+            b + a for b, a in zip(bonds, atoms[1:])) + "1"
+    else:
+        pat = atoms[0] + "".join(b + a for b, a in zip(bonds, atoms[1:]))
+    if rng.random() < 0.25:  # detached second fragment
+        pat += "." + rng.choice(SMARTS_ATOMS)
+    return pat
+
+
+def oracle_matches(query, mol):
+    """All embeddings by exhaustive injective enumeration."""
+    import itertools
+
+    from textreact_tpu.chem.smarts import (_bond_matches, atom_matches,
+                                           ring_membership)
+
+    in_ring, _ = ring_membership(mol)
+    nq, nm = len(query.atoms), len(mol.atoms)
+    found = set()
+    for perm in itertools.permutations(range(nm), nq):
+        ok = all(atom_matches(query.atoms[q], mol, m, in_ring)
+                 for q, m in enumerate(perm))
+        if not ok:
+            continue
+        for qb in query.bonds:
+            mb = mol.bond_between(perm[qb.a1], perm[qb.a2])
+            if mb is None or not _bond_matches(qb.spec, mb):
+                ok = False
+                break
+        if ok:
+            found.add(tuple(perm))
+    return found
+
+
+@pytest.mark.parametrize("seed", range(60))
+def test_smarts_matcher_vs_bruteforce_oracle(seed):
+    from textreact_tpu.chem.smarts import find_matches, parse_smarts
+
+    rng = random.Random(1000 + seed)
+    mol = random_mol(rng)   # <=13 atoms, so the n!/(n-k)! oracle stays cheap
+    for _ in range(6):
+        pat = random_smarts(rng)
+        try:
+            query = parse_smarts(pat)
+        except Exception:
+            continue
+        if len(query.atoms) > len(mol.atoms):
+            continue
+        got = {tuple(m[q] for q in range(len(query.atoms)))
+               for m in find_matches(query, mol, max_matches=10 ** 6)}
+        want = oracle_matches(query, mol)
+        assert got == want, (pat, sorted(got)[:5], sorted(want)[:5])
