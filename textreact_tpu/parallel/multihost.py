@@ -49,6 +49,49 @@ def device_put_global(batch: Dict[str, np.ndarray], sharding) -> Dict[str, "jax.
     }
 
 
+def device_put_global_spanning(batch: Dict[str, np.ndarray],
+                               sharding) -> Dict[str, "jax.Array"]:
+    """Place a host batch onto a mesh whose batch shards SPAN processes.
+
+    host_local_array_to_global_array (device_put_global) requires every
+    shard's data to live on the process that feeds it — impossible when tp
+    pairs straddle the process boundary, because each dp shard is then
+    replicated onto devices of BOTH processes while each host only loaded
+    its own rows. Here the host-local rows are all-gathered over DCN first
+    (process order = global row order, same contract as device_put_global),
+    then every process materializes its addressable shards from the full
+    global batch. Single-process: plain device_put."""
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+    from jax.experimental import multihost_utils
+
+    out: Dict[str, "jax.Array"] = {}
+    for k, v in batch.items():
+        parts = np.asarray(multihost_utils.process_allgather(v))  # (P, n, ...)
+        glob = parts.reshape((-1,) + v.shape[1:])
+        out[k] = jax.make_array_from_callback(
+            glob.shape, sharding, lambda idx, g=glob: g[idx])
+    return out
+
+
+def read_replicated_rows(arr) -> np.ndarray:
+    """Assemble the FULL value of a global array from this process's
+    addressable shards. Valid only when the addressable shards cover every
+    row — e.g. a batch sharded over dp and replicated over a tp axis that
+    spans processes (each host holds one member of every tp pair)."""
+    out = None
+    covered = np.zeros(arr.shape[0] if arr.ndim else 1, dtype=bool)
+    for s in arr.addressable_shards:
+        if out is None:
+            out = np.zeros(arr.shape, np.asarray(s.data).dtype)
+        out[s.index] = np.asarray(s.data)
+        covered[s.index[0] if s.index else slice(None)] = True
+    assert out is not None and covered.all(), (
+        "addressable shards do not cover the array; use "
+        "global_array_to_host_local_array instead")
+    return out
+
+
 def _pickle_allgather(obj):
     """All-gather an arbitrary picklable object across processes as padded
     uint8 arrays over DCN (the role of dist.all_gather_object,
