@@ -73,18 +73,29 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=-1, keepdims=True)
-        probs = e / l
+        # Deferred normalization: PV runs on the UNNORMALIZED (dropped)
+        # exp-weights and the softmax denominator scales the (L, D) context
+        # instead of the (L, L) probs — one less full-tile elementwise pass,
+        # and mathematically identical (the normalizer is computed over
+        # undropped weights, torch/HF semantics).
         if dropout_p > 0.0:
             if host_keep:
                 keep = keep_ref[0, i] > 0    # interpret mode: no in-kernel PRNG
             else:
-                keep = _keep_mask(dropout_p, probs.shape)
-            probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_p)), 0.0)
-        ctx = jnp.dot(probs.astype(v.dtype), v,
+                keep = _keep_mask(dropout_p, e.shape)
+            e = jnp.where(keep, e, 0.0)
+            inv = 1.0 / (1.0 - dropout_p)
+        else:
+            inv = 1.0
+        ctx = jnp.dot(e.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
+        ctx = ctx * (inv / l)
         out_ref[0, :, sl] = ctx.astype(out_ref.dtype)
-        m_ref[0, i, 0] = m[:, 0]
-        l_ref[0, i, 0] = l[:, 0]
+        # (L, 1) sublane-natural stores: writing m[:, 0] into a (1, L) lane
+        # row costs an in-kernel transpose per head per pass — measured at
+        # ~45% of the whole forward kernel at the flagship geometry
+        m_ref[0, i] = m
+        l_ref[0, i] = l
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
@@ -100,10 +111,11 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
         do = do_ref[0][:, sl]
-        m = m_ref[0, i, 0][:, None]
-        l = l_ref[0, i, 0][:, None]
+        m = m_ref[0, i]                      # (L, 1) sublane-natural
+        l = l_ref[0, i]
         s = _scores(q, k, mask, scale)
-        probs = jnp.exp(s - m) / l           # matches fwd exactly
+        # reciprocal-multiply: a full-tile divide is much slower on the VPU
+        probs = jnp.exp(s - m) * (1.0 / l)   # matches fwd exactly
 
         if dropout_p > 0.0:
             if host_keep:
@@ -191,15 +203,15 @@ def _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
         in_specs=in_specs,
         out_specs=[
             qkv,
-            pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0)),
-            pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0)),
+            pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0)),
+            pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0)),
         ])
     out, m, l = pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, L, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
         ],
         interpret=interpret,
     )(seed, *args)
@@ -212,7 +224,7 @@ def _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale, head_dim,
     nh, groups, gw = _group_geometry(HD, head_dim)
     H = HD // head_dim
     qkv = _qkv_spec(L, gw)
-    ml = pl.BlockSpec((1, nh, 1, L), lambda b, g, *_: (b, g, 0, 0))
+    ml = pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0))
     in_specs = [qkv, qkv, qkv]
     args = [q, k, v]
     _mask_arg(in_specs, args, mask, L)
