@@ -99,8 +99,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
-                l_ref, do_ref, dq_ref, dk_ref, dv_ref, *, dropout_p, scale,
-                use_mask, host_keep, nh, head_dim):
+                l_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref, *, dropout_p,
+                scale, use_mask, host_keep, nh, head_dim):
     b, g = pl.program_id(0), pl.program_id(1)
     mask = mask_ref[0, 0] if use_mask else None
     if dropout_p > 0.0 and not host_keep:
@@ -110,33 +110,42 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
         q = q_ref[0][:, sl]
         k = k_ref[0][:, sl]
         v = v_ref[0][:, sl]
+        o = o_ref[0][:, sl]
         do = do_ref[0][:, sl]
         m = m_ref[0, i]                      # (L, 1) sublane-natural
         l = l_ref[0, i]
         s = _scores(q, k, mask, scale)
-        # reciprocal-multiply: a full-tile divide is much slower on the VPU
-        probs = jnp.exp(s - m) * (1.0 / l)   # matches fwd exactly
+        # Deferred normalization in the backward too: everything runs on the
+        # UNNORMALIZED exp-weights; 1/l is applied to (L, D) tiles or folded
+        # into an existing (L, L) pass — never a standalone (L, L) normalize.
+        e = jnp.exp(s - m)                   # matches fwd exactly
 
         if dropout_p > 0.0:
             if host_keep:
                 keep = keep_ref[0, i] > 0
             else:
-                keep = _keep_mask(dropout_p, probs.shape)  # same stream order
+                keep = _keep_mask(dropout_p, e.shape)  # same stream order
             inv = 1.0 / (1.0 - dropout_p)
-            dropped = jnp.where(keep, probs * inv, 0.0)
+            dropped = jnp.where(keep, e, 0.0)
         else:
-            keep, inv, dropped = None, 1.0, probs
+            keep, inv, dropped = None, 1.0, e
 
-        # dV = D^T dO
-        dv = jax.lax.dot_general(dropped.astype(do.dtype), do,
+        dof = do.astype(jnp.float32)
+        # delta_i = sum_j dP_ij P_ij == sum_d dO_id O_id (keep^2 == keep), an
+        # (L, D) product instead of an (L, L) multiply + row-reduce
+        delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1, keepdims=True)
+        # dV = D^T dO = (e*keep)^T (dO * inv/l): the row scale moves to the
+        # (L, D) side of the contraction
+        dv = jax.lax.dot_general(dropped.astype(do.dtype),
+                                 (dof * (inv / l)).astype(do.dtype),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        # dD = dO V^T ; dP = dD * keep/(1-p) ; softmax VJP
+        # dD = dO V^T ; dP = dD * keep/(1-p) ; softmax VJP with 1/l folded in
         dd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         dp = jnp.where(keep, dd * inv, 0.0) if keep is not None else dd
-        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-        ds = (ds * scale).astype(q.dtype)
+        ds = e * ((dp - delta) * (scale / l))
+        ds = ds.astype(q.dtype)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -218,7 +227,7 @@ def _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
     return out, m, l
 
 
-def _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale, head_dim,
+def _bwd_call(q, k, v, mask, seed, m, l, o, do, dropout_p, scale, head_dim,
               interpret):
     B, L, HD = q.shape
     nh, groups, gw = _group_geometry(HD, head_dim)
@@ -230,8 +239,8 @@ def _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale, head_dim,
     _mask_arg(in_specs, args, mask, L)
     host_keep = _host_keep_arg(in_specs, args, B, H, L, nh, seed, dropout_p,
                                interpret)
-    in_specs += [ml, ml, qkv]
-    args += [m, l, do]
+    in_specs += [ml, ml, qkv, qkv]
+    args += [m, l, o, do]
     kernel = functools.partial(_bwd_kernel, dropout_p=dropout_p, scale=scale,
                                use_mask=mask is not None,
                                host_keep=host_keep, nh=nh, head_dim=head_dim)
@@ -258,13 +267,17 @@ def _fused_attention(q, k, v, mask, seed, dropout_p, scale, head_dim,
 def _fa_fwd(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
     out, m, l = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
                           interpret)
-    return out, (q, k, v, mask, seed, m, l)
+    # out itself is a residual: the backward's softmax-VJP row term is
+    # delta = rowsum(dO * O) (the flash-attention identity, valid under
+    # dropout because keep^2 == keep) — an (L, D) product in place of an
+    # (L, L) multiply + row-reduce
+    return out, (q, k, v, mask, seed, m, l, out)
 
 
 def _fa_bwd(dropout_p, scale, head_dim, interpret, res, do):
-    q, k, v, mask, seed, m, l = res
-    dq, dk, dv = _bwd_call(q, k, v, mask, seed, m, l, do, dropout_p, scale,
-                           head_dim, interpret)
+    q, k, v, mask, seed, m, l, out = res
+    dq, dk, dv = _bwd_call(q, k, v, mask, seed, m, l, out, do, dropout_p,
+                           scale, head_dim, interpret)
     return dq, dk, dv, None, None
 
 
