@@ -10,6 +10,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from typing import Any, Optional, Tuple
 
 import orbax.checkpoint as ocp
@@ -28,28 +29,41 @@ class CheckpointManager:
         # disk in the background — safe with the donated train-step state
         # (the device buffers are reused by the next step) while hiding
         # multi-second writes behind training. Completed saves are
-        # PUBLISHED (tmp dir renamed + meta written) at the next flush
-        # point, so a crash mid-write never leaves a visible half
-        # checkpoint.
+        # PUBLISHED (tmp dir renamed + meta written) by a background
+        # publisher thread AS SOON AS the disk write completes — a crash
+        # mid-write never leaves a visible half checkpoint, and a crash
+        # any time after the write completes loses nothing (publishing
+        # only at the next save call would leave the previous epoch's
+        # finished checkpoint invisible for the whole following epoch).
         self.async_save = async_save
         if async_save:
             self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
         else:
             self._ckptr = ocp.StandardCheckpointer()
-        self._pending: list = []  # (tmp_dir, final_dir, meta_path, meta)
+        self._publisher: Optional[threading.Thread] = None
+        self._publish_error: Optional[BaseException] = None
 
-    def _flush(self) -> None:
-        """Wait for in-flight writes and publish them atomically."""
-        if not self._pending:
-            return
-        self._ckptr.wait_until_finished()
-        for tmp, final, meta_path, meta in self._pending:
+    def _publish(self, tmp: str, final: str, meta_path: str, meta: dict) -> None:
+        try:
+            self._ckptr.wait_until_finished()
             if os.path.isdir(final):
                 shutil.rmtree(final)
             os.rename(tmp, final)
-            with open(meta_path, "w") as f:
+            tmp_meta = meta_path + ".tmp"
+            with open(tmp_meta, "w") as f:
                 json.dump(meta, f)
-        self._pending.clear()
+            os.rename(tmp_meta, meta_path)
+        except BaseException as e:  # re-raised at the next flush point
+            self._publish_error = e
+
+    def _flush(self) -> None:
+        """Wait for the in-flight write+publish (at most one)."""
+        if self._publisher is not None:
+            self._publisher.join()
+            self._publisher = None
+        if self._publish_error is not None:
+            err, self._publish_error = self._publish_error, None
+            raise err
 
     # --- paths ---
     def _dir(self, name: str) -> str:
@@ -79,7 +93,11 @@ class CheckpointManager:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         self._ckptr.save(tmp, state)
-        self._pending.append((tmp, final, self._meta_path(name), meta or {}))
+        self._publisher = threading.Thread(
+            target=self._publish,
+            args=(tmp, final, self._meta_path(name), meta or {}),
+            daemon=True)
+        self._publisher.start()
         if not self.async_save:
             self._flush()
 

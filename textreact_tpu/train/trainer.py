@@ -213,6 +213,11 @@ class Trainer:
             start_epoch = int(meta.get("epoch", -1)) + 1
             best_score = meta.get(cfg.val_metric)
             log.info("resumed from %s at epoch %d", cfg.load_ckpt, start_epoch)
+            # durable resume record (crash-recovery evidence; the console
+            # line can be swallowed by absl's root handler)
+            self.metrics.log({"resumed_from": cfg.load_ckpt,
+                              "resumed_at_epoch": start_epoch},
+                             int(state.step))
 
         # pin the step's output-state shardings to the canonical layout so
         # step 2 never recompiles and ZeRO-1 placement survives the update

@@ -23,6 +23,14 @@ def setup_logging(level=logging.INFO) -> None:
             format="%(asctime)s %(levelname).1s %(name)s: %(message)s")
 
 
+def _as_scalar(v):
+    """Device scalars/np numbers -> float; strings/bools pass through
+    (event records like resumed_from)."""
+    if isinstance(v, (str, bool)):
+        return v
+    return float(v)
+
+
 class MetricLogger:
     def __init__(self, save_path: str, project: Optional[str] = None,
                  run_name: Optional[str] = None, use_wandb: bool = False):
@@ -41,7 +49,7 @@ class MetricLogger:
 
     def log(self, metrics: Dict[str, float], step: int) -> None:
         record = {"step": step, "time": round(time.time() - self._t0, 3)}
-        record.update({k: float(v) for k, v in metrics.items()})
+        record.update({k: _as_scalar(v) for k, v in metrics.items()})
         self._f.write(json.dumps(record) + "\n")
         self._f.flush()
         if self.wandb is not None:
