@@ -58,7 +58,7 @@ def _scores(q, k, mask, scale):
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
-                out_ref, m_ref, l_ref, *, dropout_p, scale, use_mask,
+                out_ref, *, dropout_p, scale, use_mask,
                 host_keep, nh, head_dim):
     b, g = pl.program_id(0), pl.program_id(1)
     mask = mask_ref[0, 0] if use_mask else None
@@ -78,6 +78,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
         # instead of the (L, L) probs — one less full-tile elementwise pass,
         # and mathematically identical (the normalizer is computed over
         # undropped weights, torch/HF semantics).
+        # m/l are NOT written out: this kernel is unblocked (a whole row's
+        # scores live in VMEM), so the backward recomputes them bitwise from
+        # its own S tile. Storing them as (B, H, L, 1) f32 residuals cost
+        # 128x lane padding in HBM (2 x 384 MB/layer at B=128 -> OOM).
         if dropout_p > 0.0:
             if host_keep:
                 keep = keep_ref[0, i] > 0    # interpret mode: no in-kernel PRNG
@@ -91,15 +95,10 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
                       preferred_element_type=jnp.float32)
         ctx = ctx * (inv / l)
         out_ref[0, :, sl] = ctx.astype(out_ref.dtype)
-        # (L, 1) sublane-natural stores: writing m[:, 0] into a (1, L) lane
-        # row costs an in-kernel transpose per head per pass — measured at
-        # ~45% of the whole forward kernel at the flagship geometry
-        m_ref[0, i] = m
-        l_ref[0, i] = l
 
 
-def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
-                l_ref, o_ref, do_ref, dq_ref, dk_ref, dv_ref, *, dropout_p,
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
+                o_ref, do_ref, dq_ref, dk_ref, dv_ref, *, dropout_p,
                 scale, use_mask, host_keep, nh, head_dim):
     b, g = pl.program_id(0), pl.program_id(1)
     mask = mask_ref[0, 0] if use_mask else None
@@ -112,13 +111,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref, m_ref,
         v = v_ref[0][:, sl]
         o = o_ref[0][:, sl]
         do = do_ref[0][:, sl]
-        m = m_ref[0, i]                      # (L, 1) sublane-natural
-        l = l_ref[0, i]
         s = _scores(q, k, mask, scale)
         # Deferred normalization in the backward too: everything runs on the
         # UNNORMALIZED exp-weights; 1/l is applied to (L, D) tiles or folded
         # into an existing (L, L) pass — never a standalone (L, L) normalize.
+        # m/l recomputed from this S tile: same inputs, same MXU op, same
+        # reductions as the forward -> bitwise-identical values.
+        m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)                   # matches fwd exactly
+        l = jnp.sum(e, axis=-1, keepdims=True)
 
         if dropout_p > 0.0:
             if host_keep:
@@ -210,37 +211,28 @@ def _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1, grid=(B, groups),
         in_specs=in_specs,
-        out_specs=[
-            qkv,
-            pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0)),
-            pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0)),
-        ])
-    out, m, l = pl.pallas_call(
+        out_specs=[qkv])
+    [out] = pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, L, HD), q.dtype),
-            jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, L, 1), jnp.float32),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((B, L, HD), q.dtype)],
         interpret=interpret,
     )(seed, *args)
-    return out, m, l
+    return out
 
 
-def _bwd_call(q, k, v, mask, seed, m, l, o, do, dropout_p, scale, head_dim,
+def _bwd_call(q, k, v, mask, seed, o, do, dropout_p, scale, head_dim,
               interpret):
     B, L, HD = q.shape
     nh, groups, gw = _group_geometry(HD, head_dim)
     H = HD // head_dim
     qkv = _qkv_spec(L, gw)
-    ml = pl.BlockSpec((1, nh, L, 1), lambda b, g, *_: (b, g, 0, 0))
     in_specs = [qkv, qkv, qkv]
     args = [q, k, v]
     _mask_arg(in_specs, args, mask, L)
     host_keep = _host_keep_arg(in_specs, args, B, H, L, nh, seed, dropout_p,
                                interpret)
-    in_specs += [ml, ml, qkv, qkv]
-    args += [m, l, o, do]
+    in_specs += [qkv, qkv]
+    args += [o, do]
     kernel = functools.partial(_bwd_kernel, dropout_p=dropout_p, scale=scale,
                                use_mask=mask is not None,
                                host_keep=host_keep, nh=nh, head_dim=head_dim)
@@ -259,24 +251,24 @@ def _bwd_call(q, k, v, mask, seed, m, l, o, do, dropout_p, scale, head_dim,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _fused_attention(q, k, v, mask, seed, dropout_p, scale, head_dim,
                      interpret):
-    out, _, _ = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
-                          interpret)
-    return out
+    return _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
+                     interpret)
 
 
 def _fa_fwd(q, k, v, mask, seed, dropout_p, scale, head_dim, interpret):
-    out, m, l = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
-                          interpret)
+    out = _fwd_call(q, k, v, mask, seed, dropout_p, scale, head_dim,
+                    interpret)
     # out itself is a residual: the backward's softmax-VJP row term is
     # delta = rowsum(dO * O) (the flash-attention identity, valid under
     # dropout because keep^2 == keep) — an (L, D) product in place of an
-    # (L, L) multiply + row-reduce
-    return out, (q, k, v, mask, seed, m, l, out)
+    # (L, L) multiply + row-reduce. m/l are recomputed in the backward
+    # kernel (unblocked rows), never stored.
+    return out, (q, k, v, mask, seed, out)
 
 
 def _fa_bwd(dropout_p, scale, head_dim, interpret, res, do):
-    q, k, v, mask, seed, m, l, out = res
-    dq, dk, dv = _bwd_call(q, k, v, mask, seed, m, l, out, do, dropout_p,
+    q, k, v, mask, seed, out = res
+    dq, dk, dv = _bwd_call(q, k, v, mask, seed, out, do, dropout_p,
                            scale, head_dim, interpret)
     return dq, dk, dv, None, None
 
