@@ -191,3 +191,48 @@ def test_parity_run_retrosyn_tb_smoke(tmp_path):
     for acc in accs:
         assert set(int(k) for k in acc) == RETRO_KS
         assert all(0.0 <= v <= 1.0 for v in acc.values())
+
+
+def test_check_artifacts_ready_and_missing(tmp_path, capsys):
+    """scripts/check_artifacts.py (parity-day manifest validator): READY on
+    complete fixtures, NOT READY with a named gap when a schema column or a
+    file is missing; the goldens leg reports the RDKit dependency."""
+    import check_artifacts
+    import pandas as pd
+
+    root = make_condition_data(str(tmp_path / "data"))
+    argv = ["--recipe", "RCR", "--data_path", root,
+            "--corpus_file", os.path.join(root, "corpus.csv"),
+            "--nn_path", root, "--nn_prefix", ""]
+    # fixture nn files are {split}_nn.json; the validator expects the
+    # retrieve-CLI names -> link them
+    for split, base in (("train", "train"), ("val", "val"), ("test", "test")):
+        os.symlink(os.path.join(root, f"{split}_nn.json"),
+                   os.path.join(root, f"{base}.json"))
+    with pytest.raises(SystemExit) as e:
+        check_artifacts.main(argv)
+    out = capsys.readouterr().out
+    assert e.value.code == 0, out
+    assert "READY" in out and "parity_run.py --recipe RCR" in out
+
+    # drop a required condition column -> NOT READY, column named
+    df = pd.read_csv(os.path.join(root, "val.csv"))
+    df.drop(columns=["solvent2"]).to_csv(os.path.join(root, "val.csv"),
+                                         index=False)
+    check_artifacts._REPORT.clear()
+    with pytest.raises(SystemExit) as e:
+        check_artifacts.main(argv)
+    out = capsys.readouterr().out
+    assert e.value.code == 1
+    assert "MISSING" in out and "solvent2" in out
+
+    # goldens leg: no RDKit in this image -> NOT READY with the reason
+    check_artifacts._REPORT.clear()
+    with pytest.raises(SystemExit) as e:
+        check_artifacts.main(["--recipe", "goldens"])
+    out = capsys.readouterr().out
+    try:
+        import rdkit  # noqa: F401
+        assert e.value.code == 0
+    except ImportError:
+        assert e.value.code == 1 and "RDKit importable" in out
