@@ -217,3 +217,39 @@ def test_smarts_matcher_vs_bruteforce_oracle(seed):
                for m in find_matches(query, mol, max_matches=10 ** 6)}
         want = oracle_matches(query, mol)
         assert got == want, (pat, sorted(got)[:5], sorted(want)[:5])
+
+
+def test_dependent_ring_fusion_stereo_drops_like_rdkit_legacy():
+    """Round-5 finding: decalin fusion carbons have two graph-identical ring
+    arms, so no spelling-invariant rule can order them — keeping their tags
+    made the 'canonical' string follow input order. RDKit-legacy sanitize
+    (which the reference hits on every MolFromSmiles, evaluate.py:27-32)
+    drops exactly these tags; canon.drop_nonstereogenic_tags mirrors that.
+    Pins: all tagged decalin spellings collapse to the untagged string,
+    respelling-invariant; independent stereocenters are untouched (meso
+    stays merged, enantiomers stay apart, spiro/fusion with DISTINCT arms
+    keeps its tags)."""
+    import random as _r
+
+    from textreact_tpu.chem import canonical_smiles_strict as canon
+    from textreact_tpu.chem import random_smiles
+
+    untagged = canon("C1CCC2CCCCC2C1")
+    spellings = ["C1CC[C@@H]2CCCC[C@H]2C1", "C1CC[C@H]2CCCC[C@H]2C1",
+                 "C1CC[C@@H]2CCCC[C@@H]2C1"]
+    rng = _r.Random(5)
+    for s in spellings:
+        assert canon(s) == untagged, (s, canon(s))
+        for _ in range(5):
+            alt, _ = random_smiles(s, rng)
+            assert canon(alt) == untagged, (s, alt, canon(alt))
+    # independent stereocenters: trans-1,2-dimethylcyclohexane enantiomers
+    # distinct; cis (meso-like) spellings merge; plain enantiomers distinct
+    assert canon("C[C@H]1CCCC[C@@H]1C") != canon("C[C@@H]1CCCC[C@H]1C")
+    assert canon("C[C@H]1CCCC[C@H]1C") == canon("C[C@@H]1CCCC[C@@H]1C")
+    assert canon("C[C@H](N)C(=O)O") != canon("C[C@@H](N)C(=O)O")
+    # python <-> C++ agreement on the new rule
+    from textreact_tpu.chem.native import native_available, native_canonical_smiles
+    if native_available():
+        for s in spellings + ["C[C@H]1CCCC[C@@H]1C", "C[C@H]1CCCC[C@H]1C"]:
+            assert native_canonical_smiles(s) == canon(s), s

@@ -512,7 +512,8 @@ size_t count_classes(const std::map<int, int>& r) {
 int permutation_parity(std::vector<int> perm);
 
 std::map<int, int> canonical_ranks(const Mol& mol,
-                                   const std::vector<int>& atoms) {
+                                   const std::vector<int>& atoms,
+                                   bool tie_break = true) {
   std::map<int, bool> in_set;
   for (int a : atoms) in_set[a] = true;
   std::map<int, Key> inv;
@@ -589,6 +590,9 @@ std::map<int, int> canonical_ranks(const Mol& mol,
     if (count_classes(nr) == count_classes(ranks)) break;
     ranks = std::move(nr);
   }
+
+  if (!tie_break) return ranks;  // refinement fixpoint (graph-equivalence
+                                 // classes) for drop_nonstereogenic_tags
 
   while (count_classes(ranks) < atoms.size()) {
     // split the lowest tied class at its lowest-index member
@@ -966,8 +970,36 @@ Mol remove_explicit_hydrogens_impl(const Mol& mol) {
   return out;
 }
 
+// Bit-identical mirror of canon.py drop_nonstereogenic_tags: clear
+// tetrahedral tags on atoms with two graph-equivalent neighbors at the
+// stereo-aware refinement fixpoint (dependent ring-fusion stereo, e.g.
+// decalin) — RDKit-legacy sanitize parity + canonical spelling invariance.
+void drop_nonstereogenic_tags(Mol& mol) {
+  for (;;) {
+    std::vector<int> chiral;
+    for (size_t a = 0; a < mol.atoms.size(); ++a)
+      if (mol.atoms[a].chirality != CHI_NONE) chiral.push_back((int)a);
+    if (chiral.empty()) return;
+    std::vector<int> all(mol.atoms.size());
+    for (size_t i = 0; i < all.size(); ++i) all[i] = (int)i;
+    auto ranks = canonical_ranks(mol, all, /*tie_break=*/false);
+    bool dropped = false;
+    for (int a : chiral) {
+      std::vector<int> nbr_ranks;
+      for (int b : mol.adj[a]) nbr_ranks.push_back(ranks.at(mol.other(b, a)));
+      std::set<int> uniq(nbr_ranks.begin(), nbr_ranks.end());
+      if (uniq.size() != nbr_ranks.size()) {
+        mol.atoms[a].chirality = CHI_NONE;
+        dropped = true;
+      }
+    }
+    if (!dropped) return;
+  }
+}
+
 std::string canonical_smiles_impl(const std::string& smiles) {
   Mol mol = remove_explicit_hydrogens_impl(parse_smiles(smiles));
+  drop_nonstereogenic_tags(mol);
   std::vector<std::string> frags;
   for (auto& frag : fragment_atom_sets(mol)) {
     auto ranks = canonical_ranks(mol, frag);

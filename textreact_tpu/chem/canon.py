@@ -24,13 +24,17 @@ _BOND_SYMBOL = {SINGLE: "", DOUBLE: "=", TRIPLE: "#", QUAD: "$"}
 # Canonical ranking (iterative neighborhood refinement)
 # --------------------------------------------------------------------------
 
-def canonical_ranks(mol: Mol, atom_subset: Optional[Sequence[int]] = None) -> Dict[int, int]:
+def canonical_ranks(mol: Mol, atom_subset: Optional[Sequence[int]] = None,
+                    tie_break: bool = True) -> Dict[int, int]:
     """Assign a canonical rank to each atom (lower = earlier in output).
 
     Initial invariant: (atomic number, degree, charge, total H, aromaticity,
     isotope); then Weisfeiler-Lehman refinement over sorted neighbor
     (rank, bond-key) multisets until the partition stabilizes, with
     deterministic tie-breaking by splitting the lowest tied class.
+    tie_break=False returns the (possibly non-discrete) refinement fixpoint
+    — the partition into graph-equivalence classes used by
+    drop_nonstereogenic_tags.
     """
     atoms = list(atom_subset) if atom_subset is not None else list(range(len(mol.atoms)))
     in_set = set(atoms)
@@ -100,6 +104,9 @@ def canonical_ranks(mol: Mol, atom_subset: Optional[Sequence[int]] = None) -> Di
         if len(set(new_ranks.values())) == len(set(ranks.values())):
             break
         ranks = new_ranks
+
+    if not tie_break:
+        return ranks
 
     # Tie-break until discrete: split the smallest-rank tied class by
     # promoting one member (deterministically: the one with the smallest
@@ -461,12 +468,43 @@ def canonical_smiles(smiles: str) -> str:
         return smiles
 
 
+def drop_nonstereogenic_tags(mol: Mol) -> None:
+    """Clear tetrahedral tags on atoms with two graph-equivalent neighbors
+    at the stereo-aware refinement fixpoint (RDKit-legacy sanitize parity).
+
+    Dependent ring-fusion stereo — decalin's fusion carbons, whose two ring
+    arms are identical substituents — cannot be ordered by any spelling-
+    invariant rule: keeping such tags makes the 'canonical' string follow
+    input order (found by the round-5 golden extension). RDKit's legacy
+    AssignStereochemistry(cleanIt=True), which the reference hits on every
+    MolFromSmiles (evaluate.py:27-32, template_decoder.py validate_mols),
+    removes exactly these tags; dropping them restores spelling invariance
+    AND string parity. Iterates: removing one tag can make another atom's
+    neighbors equivalent. In place.
+    """
+    while True:
+        chiral = [a for a in range(len(mol.atoms))
+                  if mol.atoms[a].chirality != CHI_NONE]
+        if not chiral:
+            return
+        ranks = canonical_ranks(mol, tie_break=False)
+        dropped = False
+        for a in chiral:
+            nbr_ranks = [ranks[x] for x in mol.neighbors(a)]
+            if len(set(nbr_ranks)) != len(nbr_ranks):
+                mol.atoms[a].chirality = CHI_NONE
+                dropped = True
+        if not dropped:
+            return
+
+
 def canonical_smiles_strict(smiles: str) -> str:
     from .mol import remove_explicit_hydrogens
     # RDKit's MolFromSmiles strips removable explicit [H] atoms at parse
     # (removeHs default), so '[H]OC' and 'OC' share one reference canonical;
     # fold the same way (isotopic/charged/mapped/multi-bonded H atoms kept)
     mol = remove_explicit_hydrogens(parse_smiles(smiles))
+    drop_nonstereogenic_tags(mol)
     ranks = canonical_ranks(mol)
     frags = [write_smiles(mol, rank_of=ranks, atom_subset=frag)
              for frag in mol.fragment_atom_sets()]

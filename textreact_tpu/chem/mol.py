@@ -262,6 +262,31 @@ _BRACKET_RE = re.compile(
 )
 
 
+def clear_impossible_stereo(mol: Mol) -> None:
+    """Drop tetrahedral tags that cannot denote a stereocenter (role of
+    RDKit's sanitize-on-reparse: the reference decode path round-trips every
+    candidate through MolFromSmiles(MolToSmiles(...)) — template_decoder.py
+    validate_mols/demap — which silently clears tags template application
+    left on now-planar atoms, e.g. a carbon that just gained a double bond).
+
+    Conservative RDKit-matching subset: clear when the atom sits on a
+    double/triple/aromatic bond (except S/P/Se/As, whose lone-pair centers
+    like sulfoxides keep their tag), carries >1 hydrogen, or has a
+    neighbor+H count other than 3 or 4. Rank-based duplicate-substituent
+    removal is left to the canonicalizer's symmetry handling. In place.
+    """
+    for atom in mol.atoms:
+        if atom.chirality == CHI_NONE:
+            continue
+        nbrs = len(mol.adj[atom.idx])
+        total = nbrs + max(atom.total_h, 0)
+        multi = any(mol.bonds[b].order != SINGLE or mol.bonds[b].aromatic
+                    for b in mol.adj[atom.idx])
+        if ((multi and atom.symbol not in ("S", "P", "Se", "As"))
+                or atom.total_h > 1 or total not in (3, 4)):
+            atom.chirality = CHI_NONE
+
+
 def _parse_bracket_atom(body: str) -> Atom:
     m = _BRACKET_RE.match(body)
     if m is None:

@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from ..chem import parse_smiles
 from ..chem.canon import canonical_ranks, write_smiles
-from ..chem.mol import CHI_CCW, CHI_CW, CHI_NONE, Mol
+from ..chem.mol import CHI_CCW, CHI_CW, CHI_NONE, Mol, clear_impossible_stereo
 from ..chem.reaction import (mol_fragments_smiles, run_retro_template,
                              valence_ok)
 
@@ -130,4 +130,7 @@ def _patch_atoms(product: Mol, applied, info) -> Optional[str]:
             atom.chirality = _INT_TO_CHIRAL.get(s_after, atom.chirality)
     if not valence_ok(applied.mol):
         return None
+    # role of reference validate_mols' MolFromSmiles(MolToSmiles()) pass:
+    # template application can leave a tetrahedral tag on a now-planar atom
+    clear_impossible_stereo(applied.mol)
     return mol_fragments_smiles(applied.mol)
