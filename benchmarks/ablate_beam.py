@@ -48,6 +48,9 @@ def timeit(gen, batch, reps=3):
         t0 = time.perf_counter()
         seqs, scores = gen.generate(b)  # generate() already np.asarray()s
         times.append(time.perf_counter() - t0)
+    spread = (max(times) - min(times)) / min(times) * 100
+    print(f"  reps: {[f'{t*1e3:.0f}' for t in times]} ms, "
+          f"spread {spread:.1f}% of min", flush=True)
     return min(times), seqs, scores
 
 

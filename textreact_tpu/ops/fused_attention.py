@@ -141,11 +141,18 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, keep_ref,
                                  (dof * (inv / l)).astype(do.dtype),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        # dD = dO V^T ; dP = dD * keep/(1-p) ; softmax VJP with 1/l folded in
+        # dD = dO V^T ; softmax VJP with dP = keep*inv*dD and 1/l folded in:
+        #   dS = P (dP - delta) = (e*keep*dd*inv - e*delta) / l * scale
+        # written on the already-masked `dropped` tile (needed for dV anyway)
+        # instead of a second where() + standalone inv multiply — the
+        # dropout-vs-p=0 backward gap measured 0.39 ms/layer before, with
+        # only 0.05 in the forward (r5 chained probe)
         dd = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        dp = jnp.where(keep, dd * inv, 0.0) if keep is not None else dd
-        ds = e * ((dp - delta) * (scale / l))
+        if keep is not None:
+            ds = (dropped * dd) * (inv * scale / l) - e * (delta * scale / l)
+        else:
+            ds = e * ((dd - delta) * (scale / l))
         ds = ds.astype(q.dtype)
         dq = jnp.dot(ds, k, preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
