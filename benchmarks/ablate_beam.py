@@ -140,7 +140,7 @@ if __name__ == "__main__":
         K, T = 15, 16
         module, params, batch = build(dec_vocab=315)
         gen = Generator(module, params, num_beams=K, max_length=T)
-        t, seqs, scores = timeit(gen, batch, reps=5)
+        t, seqs, scores = timeit(gen, batch, reps=12)
         print(f"beam B={B} K={K} T={T}: {t*1e3:.0f} ms/batch "
               f"({B / t:.1f} ex/s)", flush=True)
         sys.exit(0)
