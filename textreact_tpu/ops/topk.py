@@ -308,16 +308,25 @@ def numpy_reference_topk(queries: np.ndarray, corpus: np.ndarray, k: int,
     The GEMM runs in float64 BLAS rather than numpy's loop-based integer
     matmul (30+ min at N=700k): every product of int8 entries summed over
     d<=2^13 stays below 127*127*2^13 < 2^27 << 2^53, so float64
-    accumulation is bit-exact and the int64 cast below is lossless."""
-    q = queries.astype(np.int64)
-    c = corpus.astype(np.int64)
-    dot = (queries.astype(np.float64) @ corpus.astype(np.float64).T)
-    d2 = ((q * q).sum(1)[:, None] - 2 * dot.astype(np.int64)
-          + (c * c).sum(1)[None, :])
+    accumulation is bit-exact and the int64 cast below is lossless.
+    The corpus is processed in slabs so the float64/int64 temporaries stay
+    bounded (a whole-corpus float64 copy is 82 GB at N=10M — the r5
+    retrieval-scaling sweep OOMed the host on exactly that)."""
+    q64 = queries.astype(np.float64)
+    qq = (queries.astype(np.int64) ** 2).sum(1)
+    n = corpus.shape[0]
+    d2 = np.empty((queries.shape[0], n), np.int64)
+    slab = 500_000
+    for i in range(0, n, slab):
+        j = min(i + slab, n)
+        c = corpus[i:j]
+        dot = (q64 @ c.astype(np.float64).T).astype(np.int64)
+        cc = (c.astype(np.int64) ** 2).sum(1)
+        d2[:, i:j] = qq[:, None] - 2 * dot + cc[None, :]
     if banned is not None:
-        for i in range(q.shape[0]):
+        for i in range(queries.shape[0]):
             for b in banned[i]:
-                if 0 <= b < c.shape[0]:
+                if 0 <= b < n:
                     d2[i, b] = np.iinfo(np.int32).max
     idx = np.argsort(d2, axis=1, kind="stable")[:, :k]
     return np.take_along_axis(d2, idx, axis=1).astype(np.int32), idx.astype(np.int32)
