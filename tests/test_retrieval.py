@@ -126,3 +126,24 @@ def test_corpus_resident_with_banned():
     ref_vals, ref_idx = numpy_reference_topk(queries, corpus, 5, banned)
     np.testing.assert_array_equal(np.asarray(idx), ref_idx)
     np.testing.assert_array_equal(np.asarray(vals), ref_vals)
+
+
+def test_corpus_resident_auto_rule(monkeypatch):
+    """FlatIndex(corpus_resident=None) picks the layout by corpus size via
+    the measured CORPUS_RESIDENT_MIN_N crossover; explicit args override."""
+    from textreact_tpu.retrieval import engine as eng
+
+    corpus = _random_fps(600, seed=21)
+    # below the crossover: auto -> query-outer
+    assert FlatIndex(corpus, tile_q=8, tile_c=128).corpus_resident is False
+    # at/above the crossover: auto -> corpus-resident
+    monkeypatch.setattr(eng, "CORPUS_RESIDENT_MIN_N", 600)
+    assert eng.FlatIndex(corpus, tile_q=8, tile_c=128).corpus_resident is True
+    monkeypatch.setattr(eng, "CORPUS_RESIDENT_MIN_N", 601)
+    assert eng.FlatIndex(corpus, tile_q=8, tile_c=128).corpus_resident is False
+    # explicit override beats the rule either way
+    assert eng.FlatIndex(corpus, tile_q=8, tile_c=128,
+                         corpus_resident=True).corpus_resident is True
+    monkeypatch.setattr(eng, "CORPUS_RESIDENT_MIN_N", 1)
+    assert eng.FlatIndex(corpus, tile_q=8, tile_c=128,
+                         corpus_resident=False).corpus_resident is False

@@ -29,6 +29,14 @@ from ..ops.topk import (BIG, corpus_norms_padded, exact_topk_l2,
 
 CORPUS_AXIS = "corpus"
 
+# Layout-switch rule, calibrated by benchmarks/retrieval_scaling.py
+# (BASELINE.md round-5 qps-vs-N curve): the query-outer layout (corpus
+# re-streamed from HBM per 128-query tile) wins at moderate corpus sizes;
+# past this many corpus rows the corpus-resident grid layout (corpus
+# streamed once, running top-k in VMEM scratch) takes over per
+# measurement. Pass corpus_resident=True/False to override.
+CORPUS_RESIDENT_MIN_N = 2_000_000
+
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
@@ -40,7 +48,7 @@ class FlatIndex:
     def __init__(self, corpus_fps: np.ndarray, mesh: Optional[Mesh] = None,
                  tile_q: int = 128, tile_c: int = 2048,
                  interpret: Optional[bool] = None,
-                 corpus_resident: bool = False):
+                 corpus_resident: Optional[bool] = None):
         assert corpus_fps.dtype == np.int8, corpus_fps.dtype
         self.n_real = corpus_fps.shape[0]
         self.tile_q = tile_q
@@ -49,10 +57,13 @@ class FlatIndex:
         if interpret is None:
             interpret = jax.default_backend() == "cpu"
         self.interpret = interpret
-        # opt-in corpus-resident grid layout (index-build workloads with very
-        # large corpora; measured slower than the query-outer layout for
-        # moderate corpus sizes, see NOTES.md)
-        self.corpus_resident = corpus_resident
+        # corpus-resident grid layout: None selects by corpus size via the
+        # measured CORPUS_RESIDENT_MIN_N crossover (query-outer measured
+        # faster below it, see NOTES.md + BASELINE.md scaling curve); the
+        # per-call guards in search() still require a large enough query set
+        self.corpus_resident = (self.n_real >= CORPUS_RESIDENT_MIN_N
+                                if corpus_resident is None
+                                else corpus_resident)
         # binary fingerprints enable the packed-key kernel fast path
         self.corpus_binary = (corpus_fps.size == 0 or
                               (corpus_fps.min() >= 0 and corpus_fps.max() <= 1))
